@@ -1,0 +1,205 @@
+"""Declarative extraction rule set — the single source of truth.
+
+The reference encodes XML-field->RDF mapping rules inside per-field Python
+script logic (SURVEY.md §0.3, provenance [P/High]; BASELINE.json north_star:
+"the analog of scoregraph's XML-field-to-RDF mapping rules"). Here the rules
+are DATA, executed by two engines:
+
+  * the Spark pipeline (kgpipe/extract.py) via vectorized pandas/Arrow UDFs,
+  * the single-process pandas oracle (kgpipe/oracle.py) that produces the
+    golden triple fixture (SURVEY.md §5.2.3).
+
+Both call the batch functions below, so P/R vs the fixture measures the
+distributed machinery (ordering, shuffles, joins, CC), not rule drift.
+
+Everything in this module is pure pandas/regex — no Spark imports — so it is
+importable on executors without a session.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Text normalization. Mirrored exactly by the Spark-builtin expression in
+# extract.normalize_text_col (lower ∘ trim ∘ collapse-whitespace) — keep the
+# two in lockstep; tests/test_extract.py asserts equality on random text.
+# --------------------------------------------------------------------------
+_WS = re.compile(r"\s+")
+
+
+def normalize_surface(s: str) -> str:
+    return _WS.sub(" ", s).strip().lower()
+
+
+def normalize_series(s: pd.Series) -> pd.Series:
+    return s.str.replace(_WS, " ", regex=True).str.strip().str.lower()
+
+
+# --------------------------------------------------------------------------
+# Rules. Patterns run against NORMALIZED text. Capture groups are named; the
+# `emits` tuples reference group names, or the sentinel "@turn" meaning the
+# per-turn node id f"{conv_id}#{turn_idx}" (used_tool provenance triples).
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Rule:
+    rule_id: str
+    roles: tuple[str, ...]  # roles this rule applies to
+    pattern: str  # regex over normalized text, named groups
+    emits: tuple[tuple[str, str, str], ...]  # (subj_group, pred, obj_group)
+
+
+RULES: tuple[Rule, ...] = (
+    Rule(
+        "R1",
+        ("user", "assistant"),
+        r"^(?P<a>[a-z0-9 .'-]+?) works with (?P<b>[a-z0-9 .'-]+?) on (?P<c>[a-z0-9 .'-]+?)\.",
+        (("a", "works_with", "b"), ("a", "works_on", "c")),
+    ),
+    Rule(
+        "R2",
+        ("user", "assistant"),
+        r"^(?P<a>[a-z0-9 .'-]+?) is a member of (?P<o>[a-z0-9 .'-]+?)\.",
+        (("a", "member_of", "o"),),
+    ),
+    Rule(
+        "R3",
+        ("user", "assistant"),
+        r"^(?P<a>[a-z0-9 .'-]+?) created (?P<w>[a-z0-9 .'-]+?)\.",
+        (("a", "created", "w"),),
+    ),
+    Rule(
+        "R4",
+        ("user", "assistant"),
+        r"mentioned that (?P<b>[a-z0-9 .'-]+?) leads (?P<o>[a-z0-9 .'-]+?)\.",
+        (("b", "leads", "o"),),
+    ),
+    Rule(
+        "R5",
+        ("tool",),
+        r"^called (?P<t>[a-z_][a-z0-9_]*)\(",
+        (("@turn", "used_tool", "t"),),
+    ),
+)
+
+_COMPILED: dict[str, re.Pattern[str]] = {r.rule_id: re.compile(r.pattern) for r in RULES}
+
+
+# --------------------------------------------------------------------------
+# Batched triple extraction. Input pdf columns: conv_id, turn_idx, role,
+# text_norm. Output columns: conv_id, turn_idx, subj_raw, pred, obj_raw,
+# rule_id. Vectorized: one pd.Series.str.extract per rule per batch.
+# --------------------------------------------------------------------------
+def extract_triples_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    outs: list[pd.DataFrame] = []
+    for rule in RULES:
+        mask = pdf["role"].isin(rule.roles)
+        if not mask.any():
+            continue
+        sub = pdf.loc[mask, ["conv_id", "turn_idx", "text_norm"]]
+        caps = sub["text_norm"].str.extract(_COMPILED[rule.rule_id])
+        hit = caps.notna().all(axis=1)
+        if not hit.any():
+            continue
+        caps = caps.loc[hit]
+        base = sub.loc[hit, ["conv_id", "turn_idx"]]
+        turn_node = base["conv_id"].astype(str) + "#" + base["turn_idx"].astype(str)
+        for subj_g, pred, obj_g in rule.emits:
+            subj = turn_node if subj_g == "@turn" else caps[subj_g].str.strip()
+            obj = turn_node if obj_g == "@turn" else caps[obj_g].str.strip()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": base["conv_id"].values,
+                        "turn_idx": base["turn_idx"].values,
+                        "subj_raw": subj.values,
+                        "pred": pred,
+                        "obj_raw": obj.values,
+                        "rule_id": rule.rule_id,
+                        "subj_kind": "node" if subj_g == "@turn" else "surface",
+                        "obj_kind": "node" if obj_g == "@turn" else "surface",
+                    }
+                )
+            )
+    if not outs:
+        return pd.DataFrame(
+            columns=[
+                "conv_id", "turn_idx", "subj_raw", "pred", "obj_raw",
+                "rule_id", "subj_kind", "obj_kind",
+            ]
+        )
+    out = pd.concat(outs, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Batched mention detection (U1). A single alternation regex over all alias
+# norms (longest-first so overlaps resolve deterministically), compiled once
+# per process and cached — the per-executor "automaton" of SURVEY.md §2(i).
+# --------------------------------------------------------------------------
+_MENTION_CACHE: dict[int, tuple[re.Pattern[str], dict[str, str]]] = {}
+
+
+def build_mention_matcher(
+    alias_norms: list[str], alias_types: list[str]
+) -> tuple[re.Pattern[str], dict[str, str]]:
+    key = hash((tuple(alias_norms), tuple(alias_types)))
+    cached = _MENTION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    type_of = dict(zip(alias_norms, alias_types))
+    ordered = sorted(set(alias_norms), key=lambda a: (-len(a), a))
+    pat = re.compile(
+        r"(?<![a-z0-9])(" + "|".join(re.escape(a) for a in ordered) + r")(?![a-z0-9])"
+    )
+    _MENTION_CACHE[key] = (pat, type_of)
+    return pat, type_of
+
+
+def detect_mentions_batch(
+    texts_norm: pd.Series, pat: re.Pattern[str], type_of: dict[str, str]
+) -> pd.Series:
+    """Series[str] -> Series[list[dict(surface,start,end,mtype)]]."""
+
+    def one(t: str) -> list[dict]:
+        return [
+            {
+                "surface": m.group(1),
+                "start": m.start(1),
+                "end": m.end(1),
+                "mtype": type_of[m.group(1)],
+            }
+            for m in pat.finditer(t)
+        ]
+
+    return texts_norm.map(one)
+
+
+# --------------------------------------------------------------------------
+# Canonicalization constants shared by Spark canon.py and the oracle.
+# --------------------------------------------------------------------------
+SHINGLE_K = 3  # character shingle width
+MINHASH_HASHES = 32  # total hash functions
+LSH_BANDS = 16  # 16 bands x 2 rows: P(candidate)≈0.99 at Jaccard 0.5
+# verify-filter on candidate pairs; 0.5 keeps short-name 1-edit variants
+# (e.g. "rob larspur"/"rob larkspur", J=0.583) in the same component while
+# distinct names (J≈0.2) stay apart
+JACCARD_THRESHOLD = 0.5
+
+
+def char_shingles(s: str, k: int = SHINGLE_K) -> set[str]:
+    s = normalize_surface(s)
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+def jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

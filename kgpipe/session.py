@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+All entry points (tests, bench, driver harness) build sessions here so the
+scale-relevant configs are applied uniformly:
+
+- AQE on (coalesce + skew-join splitting) — required by BASELINE.json:6
+  ("AQE skew-join splitting").
+- shuffle.partitions proportional to cores so the local[8]-vs-local[32]
+  scaling comparison (SURVEY.md §6.1) is fair.
+- Arrow enabled + bounded batch size: long `text` rows mean record-count
+  batching must be conservative or Python workers balloon (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgpipe",
+    master: str | None = None,
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if master is None:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        # 2x cores: enough fan-out for map-side combine without tiny-task
+        # overhead at sandbox scale; on a real cluster this is set per-job.
+        shuffle_partitions = 2 * cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
