@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full KG pipeline Stage A..E on the deterministic
+                 synthetic transcript corpus (sf0.001-sized).
+queries()      — one entry per implemented operator from SURVEY.md §2 plus
+                 the training-data ops (dedup / ANN / text analysis /
+                 multimodal / streaming), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB ANSI SQL for every SQL-checkable entry (same column
+                 aliases as the Spark plans).
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# importing these modules populates kgpipe.qreg.REGISTRY
+import kgpipe.relational  # noqa: F401
+import kgpipe.dedup  # noqa: F401
+import kgpipe.ann  # noqa: F401
+import kgpipe.textstats  # noqa: F401
+import kgpipe.multimodal  # noqa: F401
+import kgpipe.kgqueries  # noqa: F401
+import kgpipe.streaming  # noqa: F401
+from kgpipe.qreg import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full Stage A..E KG-construction pipeline on the
+    seeded synthetic transcript corpus; returns the final triple table."""
+    from kgpipe import pipeline, schemas, synth
+
+    c = synth.generate(n_convs=60)
+    tdf = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS)
+    edf = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT)
+    wd = tempfile.mkdtemp(prefix="entry_")
+    return pipeline.run_simple(spark, tdf, edf, wd, input_fingerprint="entry60")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

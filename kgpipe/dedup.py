@@ -1,0 +1,184 @@
+"""Document deduplication operators (training-data pipeline ops).
+
+The reference's dedup capability is pairwise creator-name comparison
+(SURVEY.md §0.3); these operators generalize it to document scale the way a
+100 TB corpus pipeline needs: exact hash dedup, MinHash+LSH banding,
+SimHash hamming buckets, n-gram Jaccard verification — all candidate
+generation via equi-joins on block keys, never O(n²) nested loops, and all
+hashing JVM-side (xxhash64) inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .extract import normalize_text_col
+from .qreg import load, register
+
+WORD_NGRAM = 3
+DOC_MINHASH = 32
+DOC_BANDS = 16
+DOC_JACCARD = 0.5
+
+
+def word_shingles(col: str, n: int = WORD_NGRAM):
+    """array of distinct word n-grams — builtin transform over the token
+    array, no UDF."""
+    toks = f"split(lower(trim(regexp_replace({col}, '\\\\s+', ' '))), ' ')"
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) < {n} THEN array(array_join({toks}, ' ')) "
+            f"ELSE transform(sequence(0, size({toks}) - {n}), "
+            f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) END"
+        )
+    )
+
+
+def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs over word shingles with exact-Jaccard
+    verification. Returns (a, b, jaccard)."""
+    base = docs.select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
+    ex = base.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(DOC_MINHASH)]
+    )
+    rows = DOC_MINHASH // DOC_BANDS
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(DOC_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "bd.band_id", "bd.band_hash")
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(1.0)), 4).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def simhash64(col_tokens) -> F.Column:
+    """64-bit SimHash of a token array: per bit, sum +1/-1 weighted by token
+    hash bits; bit set iff the sum is positive. Pure builtin expressions
+    (aggregate over the token array); one pass, no shuffle."""
+    def merge_for(i: int):
+        # exactly-2-arg lambda: pyspark inspects higher-order-fn arity
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    parts = []
+    for i in range(64):
+        bit_i = F.aggregate(col_tokens, F.lit(0), merge_for(i))
+        parts.append(
+            F.when(bit_i > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# registry entries (documents table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    sql="""SELECT LOWER(TRIM(text)) AS text_key, MIN(doc_id) AS keep_id,
+                  COUNT(*) AS n_copies
+           FROM documents GROUP BY LOWER(TRIM(text))""",
+)
+def dedup_exact(spark, sf):
+    # exact dedup: hash groupBy on the normalized text; at 100 TB the key
+    # would be sha2(text) to keep shuffle rows narrow — semantics identical
+    return (
+        load(spark, sf, "documents")
+        .groupBy(F.lower(F.trim(F.col("text"))).alias("text_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register("dedup_minhash", sql=None)  # xxhash64-based -> rows-only
+def dedup_minhash(spark, sf):
+    return doc_minhash_pairs(load(spark, sf, "documents")).filter(
+        F.col("jaccard") >= DOC_JACCARD
+    )
+
+
+@register("dedup_simhash", sql=None)
+def dedup_simhash(spark, sf):
+    """SimHash near-dup candidates: 4x16-bit bands of the 64-bit signature
+    as bucket keys; pairs verified by hamming distance <= 6 via bit_count."""
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("id"),
+        simhash64(F.split(normalize_text_col(F.col("text")), " ")).alias("sig"),
+    )
+    bands = docs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("sig", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("id", "sig", "bd.band_id", "bd.band_key")
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return pairs
+
+
+@register("dedup_ngram_jaccard", sql=None)
+def dedup_ngram_jaccard(spark, sf):
+    # candidate pairs at a permissive LSH stage, exact n-gram Jaccard kept
+    return doc_minhash_pairs(load(spark, sf, "documents")).filter(
+        F.col("jaccard") >= 0.2
+    )

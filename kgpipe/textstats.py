@@ -1,0 +1,137 @@
+"""Text analysis operators over the documents table: language-ID, quality
+scoring, token counting, fingerprinting (training-data pipeline ops).
+
+All built-in pyspark.sql.functions — the entire module is UDF-free and
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .extract import normalize_text_col
+from .qreg import load, register
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# BPE-ish tokenization: letter runs, digit runs, single other non-space
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "text_token_count",
+    sql=f"""SELECT doc_id,
+                   LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS ws_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{TOKEN_RE}')) AS bpe_tokens
+            FROM documents""",
+)
+def text_token_count(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    sql="""SELECT doc_id,
+                  LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens,
+                  ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+                        / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+                  ROUND(CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^aeiou]', '', 'g')) AS DOUBLE)
+                        / GREATEST(LENGTH(text), 1), 4) AS vowel_ratio,
+                  CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1 ELSE 0 END AS len_ok
+           FROM documents""",
+)
+def text_quality_score(spark, sf):
+    d = load(spark, sf, "documents")
+    tlen = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("double") / tlen, 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.lower(F.col("text")), r"[^aeiou]", "")).cast(
+                "double"
+            )
+            / tlen,
+            4,
+        ).alias("vowel_ratio"),
+        F.when(F.col("n_chars").between(50, 5000), 1).otherwise(0).alias("len_ok"),
+    )
+
+
+@register("text_lang_id", sql=None)  # heuristic classifier -> rows-only
+def text_lang_id(spark, sf):
+    """Language ID by stopword-hit ratio: tokenize once, score each language
+    via array_intersect against its stopword list, argmax with deterministic
+    tie-break on language code."""
+    d = load(spark, sf, "documents")
+    toks = F.array_distinct(F.split(normalize_text_col(F.col("text")), " "))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in ws])
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return d.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    sql="""SELECT doc_id,
+                  MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS content_md5
+           FROM documents""",
+)
+def text_fingerprint(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.md5(normalize_text_col(F.col("text"))).alias("content_md5")
+    )
+
+
+@register("text_winnow_fingerprint", sql=None)  # xxhash64-based -> rows-only
+def text_winnow_fingerprint(spark, sf):
+    """Winnowing-style rolling fingerprint: min/max xxhash64 over 8-token
+    windows — a compact near-dup signature computable in one scan."""
+    d = load(spark, sf, "documents")
+    toks = F.split(normalize_text_col(F.col("text")), " ")
+    win = 8
+    grams = F.expr(
+        f"CASE WHEN size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) < {win} "
+        f"THEN array(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) "
+        f"ELSE transform(sequence(0, size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) - {win}), "
+        f"i -> array_join(slice(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i + 1, {win}), ' ')) END"
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(toks).alias("n_tokens"),
+    )
