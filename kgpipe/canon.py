@@ -75,6 +75,10 @@ def candidate_pairs(surfaces: DataFrame) -> DataFrame:
     The self-join is an EQUI-join on (band_id, band_hash) — blocking keys —
     never a nested loop (SURVEY.md §2(c) join_theta_selfjoin_lsh).
     """
+    # surfaces feeds three branches of this DAG (signature + both shingle
+    # sides of the verify join); Spark does not dedupe common subplans, so
+    # persist or the upstream distinct executes three times per action
+    surfaces = surfaces.persist()
     sig = minhash_signatures(surfaces)
     bands = lsh_bands(sig)
     left = bands.select(
@@ -107,13 +111,46 @@ def candidate_pairs(surfaces: DataFrame) -> DataFrame:
     )
 
 
+# Below this many (symmetrized) edges the component graph fits trivially on
+# the driver: a collect + union-find costs one job instead of K iterations x
+# 2 shuffles. Above it, the iterative-join path scales arbitrarily.
+DRIVER_CC_MAX_EDGES = 200_000
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Small-graph fast path: same min-label semantics as the loop."""
+    rows = sym.collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent.setdefault(p, p)
+            x, p = p, parent[p]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(out, "node string, component string")
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Iterative-join connected components: min-label propagation.
+    """Connected components: min-label propagation.
 
     labels converge to the lexicographically smallest surface in each
-    component — the same representative rule as oracle.UnionFind. Each
-    round: join labels across (symmetrized) edges, take min neighbor label;
-    localCheckpoint truncates the lineage so plans stay O(1) per round.
+    component — the same representative rule as oracle.UnionFind.
+
+    Hybrid execution (both paths produce identical labels, tested):
+    - edge set under DRIVER_CC_MAX_EDGES: collect + union-find on the
+      driver (one job; the K-iteration loop is pure overhead there);
+    - otherwise the iterative-join loop: per round, join labels across
+      symmetrized edges and take the min neighbor label, localCheckpoint
+      truncating lineage so plans stay O(1) per round. Parallelism is
+      sized to the edge count, not the global shuffle setting.
 
     Returns DataFrame[node, component]. Nodes appearing in no edge are NOT
     returned (callers treat missing as singleton = itself).
@@ -121,8 +158,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
+    # the count decides the execution path and the collect/loop reuses the
+    # edge chain — persist so the (expensive) LSH chain runs exactly once
+    sym = sym.persist()
+    n_edges = sym.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        out = _driver_union_find(sym)
+        sym.unpersist()
+        return out
+    spark = edges.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = max(1, min(max_parts, n_edges // 100_000 + 1))
+    sym = sym.repartition(n_parts, "dst").localCheckpoint()
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
+    labels = nodes.withColumn("component", F.col("node")).repartition(
+        n_parts, "node"
+    ).localCheckpoint()
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.node)

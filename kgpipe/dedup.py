@@ -38,7 +38,11 @@ def word_shingles(col: str, n: int = WORD_NGRAM):
 def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidate pairs over word shingles with exact-Jaccard
     verification. Returns (a, b, jaccard)."""
-    base = docs.select(F.col(id_col).alias("id"), word_shingles(text_col).alias("sh"))
+    # base feeds three DAG branches (signature + both verify sides) —
+    # persist, or the shingle computation runs three times per action
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
+    ).persist()
     ex = base.select("id", F.explode("sh").alias("s"))
     sig = ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(DOC_MINHASH)]

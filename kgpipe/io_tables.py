@@ -40,23 +40,27 @@ def write_stage(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    spark = df.sparkSession
-    # explicit schema: an empty delta leaves no footers to infer from
-    back = spark.read.schema(df.schema).parquet(path)
-    from pyspark.sql import functions as F
+    # per-partition row counts straight from parquet footers (driver-side
+    # metadata read — no second Spark scan of the stage output). Keys are
+    # the hive partition dirs when partitioned, else the file names.
+    import pyarrow.parquet as pq
 
-    per_part = (
-        back.groupBy(F.spark_partition_id().alias("partition_id"))
-        .count()
-        .collect()
-    )
+    partition_counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
+            key = os.path.relpath(root, path)
+            key = key if key != "." else fname
+            partition_counts[key] = partition_counts.get(key, 0) + n
     manifest = {
         "stage": stage,
         "fingerprint": fingerprint,
-        "rows": int(sum(r["count"] for r in per_part)),
-        "partition_counts": {int(r["partition_id"]): int(r["count"]) for r in per_part},
+        "rows": int(sum(partition_counts.values())),
+        "partition_counts": partition_counts,
         "wall_ms": int((time.time() - t0) * 1000),
-        "format": "parquet-shim",  # prod: "iceberg"
+        "format": "parquet-shim",  # prod: "iceberg" (manifest comes free)
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)

@@ -40,6 +40,11 @@ class PipelineConfig:
     input_fingerprint: str  # content identity of the input (seed/path/etc.)
     n_partitions: int = 0  # 0 -> spark.sql.shuffle.partitions
     triple_parts: int = N_TRIPLE_PARTS
+    # True: every stage materializes to parquet + manifest (exact resume,
+    # the production default per BASELINE.json). False: stage boundaries
+    # are in-memory persist() only — no resume, ~2x faster end-to-end when
+    # the job comfortably fits one run (bench fast path).
+    checkpoints: bool = True
     extra: dict = field(default_factory=dict)
 
     def config_hash(self) -> str:
@@ -91,6 +96,7 @@ class Pipeline:
                 "stage": stage,
                 "rows": manifest["rows"],
                 "wall_ms": manifest["wall_ms"],
+                "total_ms": manifest.get("total_ms", manifest["wall_ms"]),
                 "fingerprint": manifest["fingerprint"],
                 "skipped": manifest.get("skipped", False),
             }
@@ -113,8 +119,27 @@ class Pipeline:
             m["skipped"] = True
             self._record(stage, m)
             return io_tables.read_stage(spark, path), fp
+        t_build = time.time()
         df = build()
+        if not self.cfg.checkpoints and stage != "E_triples":
+            # fused mode: in-memory stage boundary (final sink still writes).
+            # Only C_link persists: B feeds only C (persisting both doubles
+            # memory for nothing) and D feeds only E (straight pipeline).
+            # C is read by two consumers — the unlinked-surface derivation
+            # driving CC, and the final rewrite — so it must materialize.
+            if stage == "C_link":
+                df = df.persist()
+            m = {
+                "stage": stage,
+                "fingerprint": fp,
+                "rows": -1,  # lazily evaluated; counts live in the sink
+                "wall_ms": 0,
+                "total_ms": int((time.time() - t_build) * 1000),
+            }
+            self._record(stage, m)
+            return df, fp
         m = io_tables.write_stage(df, path, stage, fp, partition_by, mode=mode)
+        m["total_ms"] = int((time.time() - t_build) * 1000)
         self._record(stage, m)
         # read back: downstream plans hang off the checkpoint, not the
         # full upstream lineage (bounded plan size; exact resume)
@@ -135,14 +160,23 @@ class Pipeline:
         )
 
         # ---- Stage A: ingest + stable ordering (no checkpoint: cheap) ----
+        # ONE shuffle: repartition(conv_id); the (conv_id, turn_idx) dedup
+        # window and the turn-order window both run on that partitioning
+        # (hash(conv_id) satisfies clustered distribution for both), so
+        # dedup costs a sort, not a second shuffle — and the keep-row is
+        # deterministic (min ts, then role) unlike dropDuplicates.
+        from pyspark.sql.window import Window
+
+        a = transcripts.filter(
+            F.col("conv_id").isNotNull()
+            & F.col("turn_idx").isNotNull()
+            & F.col("text").isNotNull()
+        ).repartition(nparts, "conv_id")
+        w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "role")
         a = (
-            transcripts.dropDuplicates(["conv_id", "turn_idx"])
-            .filter(
-                F.col("conv_id").isNotNull()
-                & F.col("turn_idx").isNotNull()
-                & F.col("text").isNotNull()
-            )
-            .repartition(nparts, "conv_id")
+            a.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
         a = extract.with_turn_order(a)
 
@@ -184,17 +218,27 @@ class Pipeline:
 
         # ---- Stage E: publish -------------------------------------------
         def build_e() -> DataFrame:
+            # ONE shuffle: repartition on part_key (derived from subj), then
+            # window-dedup on the full triple key — hash(part_key) clusters
+            # equal triples together, so the dedup needs only a sort, and
+            # the partitioned write fans out to triple_parts clean files
+            # instead of (tasks x partitions) small ones.
+            key = ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id"]
+            from pyspark.sql.window import Window
+
+            with_key = canoned.withColumn(
+                "part_key",
+                F.pmod(F.xxhash64("subj"), F.lit(self.cfg.triple_parts)).cast("int"),
+            ).repartition(self.cfg.triple_parts, "part_key")
+            # part_key leads the window keys so hash(part_key) satisfies the
+            # window's clustering requirement — no second shuffle (part_key
+            # is functionally dependent on subj, so dedup semantics hold)
+            w = Window.partitionBy("part_key", *key).orderBy(F.lit(1))
             triples = (
-                canoned.dropDuplicates(
-                    ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id"]
-                )
+                with_key.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
                 .withColumn("lineage_id", lineage_col())
-                .withColumn(
-                    "part_key",
-                    F.pmod(F.xxhash64("subj"), F.lit(self.cfg.triple_parts)).cast(
-                        "int"
-                    ),
-                )
             )
             # idempotent publish: drop lineage ids already in the sink
             final_path = self._path("E_triples")

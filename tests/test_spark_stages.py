@@ -95,6 +95,17 @@ def test_cc_random_graph_vs_unionfind(spark):
     edf = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "a string, b string"
     ).distinct()
+    # driver union-find fast path
     cc = canon.connected_components(edf).toPandas()
     got = dict(zip(cc.node, cc.component))
     assert got == want
+    # iterative-join at-scale path must produce identical labels
+    import kgpipe.canon as canon_mod
+
+    orig = canon_mod.DRIVER_CC_MAX_EDGES
+    canon_mod.DRIVER_CC_MAX_EDGES = 0
+    try:
+        cc2 = canon.connected_components(edf).toPandas()
+    finally:
+        canon_mod.DRIVER_CC_MAX_EDGES = orig
+    assert dict(zip(cc2.node, cc2.component)) == want
