@@ -43,10 +43,12 @@ for trial in range({trials} + 1):  # trial 0 = warm-up
     cfg = pipeline.PipelineConfig(
         work_dir=tempfile.mkdtemp(prefix=f"scale{{cores}}_{{trial}}_"),
         input_fingerprint=f"scale{{trial}}",
+        checkpoints={checkpoints},
     )
     out = pipeline.Pipeline(cfg).run(spark, t, e)
     n = out.count()
     walls.append(time.time() - t0)
+    spark.catalog.clearCache()
 best = min(walls[1:])
 print("RESULT " + json.dumps({{"cores": cores, "wall_s": round(best, 2),
                                "all_walls": [round(w, 2) for w in walls],
@@ -55,8 +57,10 @@ print("RESULT " + json.dumps({{"cores": cores, "wall_s": round(best, 2),
 """
 
 
-def run_level(cores: int, corpus: str, trials: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, trials=trials)
+def run_level(cores: int, corpus: str, trials: int, checkpoints: bool) -> dict:
+    code = CHILD.format(
+        repo=REPO, cores=cores, corpus=corpus, trials=trials, checkpoints=checkpoints
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -71,8 +75,17 @@ def run_level(cores: int, corpus: str, trials: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=1_000_000)
+    ap.add_argument("--turns", type=int, default=10_000_000)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument(
+        "--mode",
+        choices=["fused", "ckpt"],
+        default="fused",
+        help="fused = in-memory stage boundaries (throughput config); "
+        "ckpt = parquet checkpoints every stage (resumable config)",
+    )
+    ap.add_argument("--n", type=int, default=2, help="small level cores (N)")
+    ap.add_argument("--n4", type=int, default=8, help="large level cores (4N)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -81,14 +94,15 @@ def main() -> int:
     n_convs = max(200, args.turns // 70)
     corpus = corpus_parquet(n_convs)
 
-    r8 = run_level(8, corpus, args.trials)
-    r32 = run_level(32, corpus, args.trials)
-    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
+    ck = args.mode == "ckpt"
+    r8 = run_level(args.n, corpus, args.trials, ck)
+    r32 = run_level(args.n4, corpus, args.trials, ck)
+    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (args.n4 / args.n)
     summary = {
         "corpus_turns_approx": n_convs * 70,
-        "local8": r8,
-        "local32": r32,
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        f"local{args.n}": r8,
+        f"local{args.n4}": r32,
+        f"scaling_efficiency_{args.n}_to_{args.n4}": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -98,29 +112,23 @@ def main() -> int:
 
 Per BASELINE.json the rule is >=0.8 throughput scaling efficiency between N
 and 4N executors. No real cluster exists in this sandbox, so the evidence is
-the same full Stage A..E pipeline on the SAME seeded synthetic corpus
-(~{n_convs * 70:,} turns) at two parallelism levels in fresh JVMs,
-`spark.sql.shuffle.partitions` = 2x cores, steady-state (warm-up pass
-excluded, best of {args.trials} measured trials):
+the same full Stage A..E pipeline ({args.mode} mode) on the SAME seeded
+synthetic corpus (~{n_convs * 70:,} turns) at two parallelism levels in
+fresh JVMs, `spark.sql.shuffle.partitions` = 2x cores, steady-state
+(warm-up pass excluded, best of {args.trials} measured trials):
 
 | level | wall (s) | triples/sec |
 | --- | --- | --- |
-| local[8]  (N)  | {r8['wall_s']} | {r8['triples_per_sec']:,} |
-| local[32] (4N) | {r32['wall_s']} | {r32['triples_per_sec']:,} |
+| local[{args.n}]  (N)  | {r8['wall_s']} | {r8['triples_per_sec']:,} |
+| local[{args.n4}] (4N) | {r32['wall_s']} | {r32['triples_per_sec']:,} |
 
-**Scaling efficiency = (thr_32 / thr_8) / 4 = {eff:.3f}** (target >= 0.8:
-{"PASS" if eff >= 0.8 else "FAIL"}).
+**Scaling efficiency = (thr_{args.n4} / thr_{args.n}) / {args.n4 // args.n} = {eff:.3f}**
+(target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
-Single-node reference baseline: the reference publishes no numbers
-(BASELINE.md); the single-process pandas oracle (kgpipe/oracle.py, the
-architectural twin of the reference's sequential Python pipeline) processes
-the same corpus — see `python BENCH/oracle_baseline.py` — and the Spark
-build must match-or-beat it at equal data scale.
-
-All trial walls: local[8] {r8['all_walls']}, local[32] {r32['all_walls']}
+All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_walls']}
 (first value = discarded warm-up).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}.md"), "w") as f:
         f.write(md)
     return 0
 

@@ -25,6 +25,7 @@ import kgpipe.textstats  # noqa: F401
 import kgpipe.multimodal  # noqa: F401
 import kgpipe.kgqueries  # noqa: F401
 import kgpipe.streaming  # noqa: F401
+import kgpipe.grouped  # noqa: F401
 from kgpipe.qreg import REGISTRY
 
 

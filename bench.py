@@ -53,7 +53,12 @@ def corpus_parquet(n_convs: int) -> str:
     if not os.path.exists(os.path.join(d, "transcripts.parquet")):
         os.makedirs(d, exist_ok=True)
         c = synth.generate(n_convs=n_convs)
-        c.transcripts.to_parquet(f"{d}/transcripts.parquet", index=False)
+        # bounded row groups: the row group is Spark's atomic input split —
+        # pandas' default (~1M rows/group) caps scan parallelism at ~11
+        # tasks for a 10M-row corpus
+        c.transcripts.to_parquet(
+            f"{d}/transcripts.parquet", index=False, row_group_size=131072
+        )
         c.entity_dict.to_parquet(f"{d}/entity_dict.parquet", index=False)
     return d
 

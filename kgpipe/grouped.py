@@ -1,0 +1,113 @@
+"""Grouped-map / UDTF surfaces (SURVEY.md §2(k) completeness).
+
+applyInPandas = per-conversation batch ops (the analog of the reference's
+per-record multi-field rules when a rule needs the WHOLE conversation in
+one frame); UDTF = one-row->many-rows expansion where array+explode would
+obscure the logic. Both kept off the hot path — the core pipeline uses
+mapInPandas + explode, which are cheaper.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .qreg import register
+
+CONV_STATS = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("n_turns", IntegerType(), False),
+        StructField("n_tool_calls", IntegerType(), False),
+        StructField("mean_gap_s", DoubleType(), True),
+        StructField("first_role", StringType(), False),
+    ]
+)
+
+
+def conv_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx")
+    gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+    return pd.DataFrame(
+        {
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_turns": [len(pdf)],
+            "n_tool_calls": [int((pdf["role"] == "tool").sum())],
+            "mean_gap_s": [float(gaps.mean()) if len(gaps) else None],
+            "first_role": [pdf["role"].iloc[0]],
+        }
+    )
+
+
+@register("conv_stats_applyinpandas", sql=None)
+def conv_stats_applyinpandas(spark, sf):
+    """Per-conversation grouped-map stats: one pandas frame per conv_id.
+    The groupBy ships each conversation to one worker — bounded by the
+    longest conversation (Zipf-skewed by design; AQE skew handling applies
+    to the shuffle feeding it)."""
+    from .kgqueries import corpus_dfs
+
+    t = corpus_dfs(spark, sf)["transcripts"]
+    return t.groupBy("conv_id").applyInPandas(conv_stats, CONV_STATS)
+
+
+SENTENCES = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sent_idx", IntegerType(), False),
+        StructField("n_words", IntegerType(), False),
+    ]
+)
+
+
+@register("udtf_sentence_expand", sql=None)
+def udtf_sentence_expand(spark, sf):
+    """Python UDTF surface: one document row -> one row per ~10-word
+    pseudo-sentence. (Registered via spark.udtf; Spark 4 runs these
+    Arrow-optimized.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            words = text.split()
+            for i in range(0, len(words), 10):
+                yield i // 10, len(words[i : i + 10])
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    from .qreg import load
+
+    load(spark, sf, "documents").createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        """SELECT d.doc_id, s.sent_idx, s.n_words
+           FROM docs_udtf_in d, LATERAL sentence_split(d.text) s"""
+    )
+
+
+@register("grouped_agg_pandas_udf", sql=None)
+def grouped_agg_pandas_udf(spark, sf):
+    """Grouped-aggregate pandas UDF (UDAF surface): trimmed mean of order
+    totals per priority — a stat built-ins don't offer directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        lo, hi = v.quantile(0.05), v.quantile(0.95)
+        inner = v[(v >= lo) & (v <= hi)]
+        return float(inner.mean()) if len(inner) else float(v.mean())
+
+    from .qreg import load
+
+    return (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.round(trimmed_mean("o_totalprice"), 4).alias("trimmed_mean_price"))
+    )

@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from . import canon, extract, io_tables, link
 
 SEP = "\x1f"
-N_TRIPLE_PARTS = 16  # bucket count for part_key = pmod(xxhash64(subj), N)
+# bucket count for part_key = pmod(xxhash64(subj), N). Also the parallelism
+# of the final dedup+write stage — keep >= the largest cluster's task slots
+# (it's a fixed property of the sink layout, identical at every cluster
+# size, so cross-size runs stay comparable; at 100 TB this would be O(10^3))
+N_TRIPLE_PARTS = 64
 
 
 @dataclass

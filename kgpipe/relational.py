@@ -237,6 +237,47 @@ def join_range_asof(spark, sf):
     )
 
 
+@register(
+    "join_asof",
+    sql="""WITH dim AS (
+             SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS valid_from,
+                    ROUND(AVG(value), 4) AS day_avg
+             FROM events GROUP BY event_type, DATE_TRUNC('day', ts))
+           SELECT e.event_id, d.day_avg
+           FROM events e ASOF JOIN dim d
+             ON e.event_type = d.event_type AND e.ts >= d.valid_from""",
+)
+def join_asof(spark, sf):
+    """True as-of join: each event picks the LATEST dim snapshot with
+    valid_from <= ts (slowly-changing dictionary pattern, SURVEY §2(c)).
+
+    Implementation: broadcast the (small) dim, equi-join on the key with the
+    non-equi bound as a join predicate, keep top-1 by valid_from desc via a
+    window — candidate count per row is bounded by the dim's history length,
+    never a full nested loop. At 100 TB with a large dim, the same semantics
+    come from the union + last(ignorenulls) over ts-ordering trick on a
+    bucketed sort."""
+    e = load(spark, sf, "events")
+    dim = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("valid_from"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        .withColumnRenamed("event_type", "d_event_type")
+    )
+    j = e.join(
+        F.broadcast(dim),
+        (e.event_type == dim.d_event_type) & (e.ts >= dim.valid_from),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("valid_from"))
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "day_avg")
+    )
+
+
 # ---------------------------------------------------------------------------
 # (d) aggregations
 # ---------------------------------------------------------------------------

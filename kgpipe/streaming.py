@@ -85,6 +85,79 @@ def stream_stateful_dedup(spark, sf):
     return spark_df
 
 
+def incremental_triples(
+    spark: SparkSession,
+    transcripts_dir: str,
+    entity_dict: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """stream_sink: streaming ingestion of arriving transcript files ->
+    foreachBatch reuses the BATCH extraction/linking stages and appends
+    idempotently by lineage_id (late re-delivered files cannot duplicate
+    triples). This is the production shape for continuous KG construction:
+    the per-batch work is the same code path the batch pipeline runs.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from . import extract, link, pipeline, schemas
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .parquet(transcripts_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        raw = extract.stage_extract(batch_df, entity_dict)
+        linked = link.stage_link(raw, entity_dict)
+        triples = (
+            linked.withColumn(
+                "subj", F.coalesce("subj_link", "subj_raw")
+            )
+            .withColumn("obj", F.coalesce("obj_link", "obj_raw"))
+            .select("subj", "pred", "obj", "conv_id", "turn_idx", "rule_id")
+            .dropDuplicates()
+            .withColumn("lineage_id", pipeline.lineage_col())
+        )
+        if os.path.exists(sink_dir) and any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(sink_dir)
+            for f in fs
+        ):
+            published = spark.read.parquet(sink_dir).select("lineage_id")
+            triples = triples.join(published, "lineage_id", "left_anti")
+        triples.write.mode("append").parquet(sink_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("stream_sink_incremental", sql=None)
+def stream_sink_incremental(spark, sf):
+    """End-to-end streaming triples: synthesize a small corpus, stream it
+    in, extract+link per micro-batch, idempotent append."""
+    import os
+
+    from . import schemas, synth
+
+    c = synth.generate(n_convs=40)
+    src = tempfile.mkdtemp(prefix="stream_in_")
+    c.transcripts.to_parquet(f"{src}/part0.parquet", index=False)
+    edf = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT)
+    sink = tempfile.mkdtemp(prefix="stream_sink_")
+    ck = tempfile.mkdtemp(prefix="stream_ck_")
+    incremental_triples(spark, src, edf, sink, ck)
+    return spark.read.parquet(sink)
+
+
 def run_available_now_append(result: DataFrame, name: str) -> DataFrame:
     spark = result.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
