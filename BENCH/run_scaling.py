@@ -61,8 +61,12 @@ def run_level(cores: int, corpus: str, trials: int, checkpoints: bool) -> dict:
     code = CHILD.format(
         repo=REPO, cores=cores, corpus=corpus, trials=trials, checkpoints=checkpoints
     )
+    # pin the process tree to exactly `cores` CPUs: a local[N] JVM otherwise
+    # borrows idle cores for Python workers/GC/shuffle threads, which a real
+    # N-core executor does not have — unpinned, the small level's throughput
+    # is inflated and the N->4N comparison is unfair
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=1800,

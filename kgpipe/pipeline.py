@@ -32,10 +32,11 @@ from . import canon, extract, io_tables, link
 
 SEP = "\x1f"
 # bucket count for part_key = pmod(xxhash64(subj), N). Also the parallelism
-# of the final dedup+write stage — keep >= the largest cluster's task slots
-# (it's a fixed property of the sink layout, identical at every cluster
-# size, so cross-size runs stay comparable; at 100 TB this would be O(10^3))
-N_TRIPLE_PARTS = 64
+# ceiling of the final dedup+write stage — keep >= 2x the largest cluster's
+# task slots (it's a fixed property of the sink layout, identical at every
+# cluster size, so cross-size runs stay comparable; at 100 TB this would be
+# O(10^3-10^4) Iceberg buckets)
+N_TRIPLE_PARTS = 128
 
 
 @dataclass

@@ -241,9 +241,9 @@ def join_range_asof(spark, sf):
     "join_asof",
     sql="""WITH dim AS (
              SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS valid_from,
-                    ROUND(AVG(value), 4) AS day_avg
+                    COUNT(*) AS day_cnt
              FROM events GROUP BY event_type, DATE_TRUNC('day', ts))
-           SELECT e.event_id, d.day_avg
+           SELECT e.event_id, d.day_cnt
            FROM events e ASOF JOIN dim d
              ON e.event_type = d.event_type AND e.ts >= d.valid_from""",
 )
@@ -258,12 +258,14 @@ def join_asof(spark, sf):
     come from the union + last(ignorenulls) over ts-ordering trick on a
     bucketed sort."""
     e = load(spark, sf, "events")
+    # integer dim attribute: AVG over doubles accumulates in a different
+    # order per engine/partitioning, so ROUND(AVG,k) can flip on boundaries
     dim = (
         e.groupBy(
             "event_type",
             F.date_trunc("day", "ts").alias("valid_from"),
         )
-        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        .agg(F.count("*").alias("day_cnt"))
         .withColumnRenamed("event_type", "d_event_type")
     )
     j = e.join(
@@ -274,7 +276,7 @@ def join_asof(spark, sf):
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("event_id", "day_avg")
+        .select("event_id", "day_cnt")
     )
 
 
