@@ -144,6 +144,29 @@ def agg_minhash_sig(spark, sf):
     return canon.minhash_signatures(surfaces)
 
 
+@register("sink_metrics", sql=None)
+def sink_metrics(spark, sf):
+    """Per-stage / per-partition metrics surface: run the pipeline, return
+    the manifest-derived metrics as a DataFrame (rows, partition counts,
+    wall) — the lineage/metrics checkpointing of BASELINE.json."""
+    import json
+    import os
+
+    d = corpus_dfs(spark, sf)
+    wd = tempfile.mkdtemp(prefix="kgm_")
+    cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
+    p = pipeline.Pipeline(cfg)
+    p.run(spark, d["transcripts"], d["entity_dict"])
+    rows = []
+    for stage in ("B_extract", "C_link", "D_canon", "E_triples"):
+        m = json.load(open(os.path.join(wd, stage, "_MANIFEST.json")))
+        for part, n in m["partition_counts"].items():
+            rows.append((stage, part, int(n), m["fingerprint"]))
+    return spark.createDataFrame(
+        rows, "stage string, partition string, rows long, fingerprint string"
+    )
+
+
 @register("kg_triples_per_entity", sql=None)
 def kg_triples_per_entity(spark, sf):
     """The reference's summarize stage (stats per composer) re-targeted:
