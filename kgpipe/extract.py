@@ -119,29 +119,44 @@ def _collect_aliases(entity_dict: DataFrame) -> tuple[list[str], list[str]]:
     return [r["alias_norm"] for r in rows], [r["etype"] for r in rows]
 
 
-def stage_extract(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
-    """Full Stage B: normalize -> batched mention detection -> triple
-    extraction, FUSED into one mapInPandas pass: one Arrow round-trip per
-    batch instead of two (mention UDF + extraction UDF separately cost ~2x
-    the Python-side regex time at 10^6 turns; measured in BENCH).
+def anchor_prefilter(text_norm_col: Column) -> Column:
+    """Rule-anchor pushdown (SURVEY.md §7's 'pre-filters into the scan'):
+    a row can only produce a triple if its normalized text contains some
+    rule's literal anchor. Evaluated JVM-side inside whole-stage codegen,
+    so distractor/chatter turns (~50-60% of a conversation corpus) never
+    cross the Arrow boundary into Python at all."""
+    from .rules import RULES
 
-    Mention detection here is the vectorized automaton-gate (alias
-    alternation via pandas str.contains, C-regex, batched); turns with no
-    dictionary mention are dropped before the per-rule extraction regexes —
-    except tool turns, whose rule keys on role (R5). Semantics identical to
-    detect_mentions + filter + extract_triples (tested).
+    cond = F.lit(False)
+    for r in RULES:
+        cond = cond | text_norm_col.contains(r.anchor)
+    return cond
+
+
+def stage_extract(turns: DataFrame, entity_dict: DataFrame) -> DataFrame:
+    """Full Stage B: normalize -> anchor prefilter (JVM) -> batched triple
+    extraction (one mapInPandas Arrow pass).
+
+    The anchor prefilter never drops a row any rule could match (anchor is
+    a literal substring of each rule's pattern — invariant tested), so the
+    emitted triple set is identical to running extraction over every turn;
+    it is pure pushdown. Dictionary-based mention detection remains
+    available as its own operator (detect_mentions / udf_mention_detect)
+    for enrichment queries; the hot path doesn't need the alias automaton —
+    entity resolution happens in Stage C via the broadcast join.
+
+    entity_dict is accepted (and ignored) to keep the stage signature
+    stable for callers that pass it.
 
     Returns raw triples (conv_id, turn_idx, subj_raw, pred, obj_raw,
     rule_id, subj_kind, obj_kind)."""
-    alias_norms, alias_types = _collect_aliases(entity_dict)
     t = turns.withColumn("text_norm", normalize_text_col(F.col("text")))
+    t = t.filter(anchor_prefilter(F.col("text_norm")))
     cols = ["conv_id", "turn_idx", "role", "text_norm"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pat, _ = build_mention_matcher(alias_norms, alias_types)
         for pdf in batches:
-            keep = (pdf["role"] == "tool") | pdf["text_norm"].str.contains(pat)
-            out = extract_triples_batch(pdf.loc[keep])
+            out = extract_triples_batch(pdf)
             if len(out):
                 yield out
 

@@ -50,6 +50,11 @@ class Rule:
     roles: tuple[str, ...]  # roles this rule applies to
     pattern: str  # regex over normalized text, named groups
     emits: tuple[tuple[str, str, str], ...]  # (subj_group, pred, obj_group)
+    # a literal substring of every text the pattern can match — the
+    # pushdown key: checked JVM-side (codegen `contains`) before any text
+    # reaches Python, and as a C-substring gate before the regex runs.
+    # INVARIANT (tested): pattern matches text => anchor in text.
+    anchor: str = ""
 
 
 RULES: tuple[Rule, ...] = (
@@ -58,30 +63,35 @@ RULES: tuple[Rule, ...] = (
         ("user", "assistant"),
         r"^(?P<a>[a-z0-9 .'-]+?) works with (?P<b>[a-z0-9 .'-]+?) on (?P<c>[a-z0-9 .'-]+?)\.",
         (("a", "works_with", "b"), ("a", "works_on", "c")),
+        anchor=" works with ",
     ),
     Rule(
         "R2",
         ("user", "assistant"),
         r"^(?P<a>[a-z0-9 .'-]+?) is a member of (?P<o>[a-z0-9 .'-]+?)\.",
         (("a", "member_of", "o"),),
+        anchor=" is a member of ",
     ),
     Rule(
         "R3",
         ("user", "assistant"),
         r"^(?P<a>[a-z0-9 .'-]+?) created (?P<w>[a-z0-9 .'-]+?)\.",
         (("a", "created", "w"),),
+        anchor=" created ",
     ),
     Rule(
         "R4",
         ("user", "assistant"),
         r"mentioned that (?P<b>[a-z0-9 .'-]+?) leads (?P<o>[a-z0-9 .'-]+?)\.",
         (("b", "leads", "o"),),
+        anchor="mentioned that ",
     ),
     Rule(
         "R5",
         ("tool",),
         r"^called (?P<t>[a-z_][a-z0-9_]*)\(",
         (("@turn", "used_tool", "t"),),
+        anchor="called ",
     ),
 )
 
@@ -97,6 +107,10 @@ def extract_triples_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     outs: list[pd.DataFrame] = []
     for rule in RULES:
         mask = pdf["role"].isin(rule.roles)
+        if rule.anchor:
+            # C substring gate (regex=False) — orders of magnitude cheaper
+            # than running the capture regex over every row
+            mask &= pdf["text_norm"].str.contains(rule.anchor, regex=False)
         if not mask.any():
             continue
         sub = pdf.loc[mask, ["conv_id", "turn_idx", "text_norm"]]

@@ -119,3 +119,32 @@ def test_spark_normalization_parity(spark):
     got = [r[0] for r in sdf.select(normalize_text_col(F.col("text"))).collect()]
     want = list(rules.normalize_series(samples["text"]))
     assert got == want
+
+
+def test_anchor_is_literal_substring_invariant():
+    """Pushdown soundness: every text a rule's pattern matches must contain
+    the rule's anchor — checked on the full synthetic corpus."""
+    from kgpipe import synth
+
+    c = synth.generate(n_convs=60)
+    t = c.transcripts
+    t_norm = rules.normalize_series(t["text"])
+    for rule in rules.RULES:
+        hits = t_norm.str.contains(rules._COMPILED[rule.rule_id], regex=True)
+        anchored = t_norm.str.contains(rule.anchor, regex=False)
+        assert (hits & ~anchored).sum() == 0, rule.rule_id
+
+
+def test_prefilter_preserves_triple_set(spark, transcripts_df, entity_dict_df, corpus):
+    """Extraction with the JVM anchor prefilter == extraction over every
+    turn (pure pushdown, zero semantic effect)."""
+    from kgpipe import extract
+
+    got = extract.stage_extract(transcripts_df, entity_dict_df).toPandas()
+    t = corpus.transcripts.copy()
+    t["text_norm"] = rules.normalize_series(t["text"])
+    want = rules.extract_triples_batch(t[["conv_id", "turn_idx", "role", "text_norm"]])
+    cols = ["conv_id", "turn_idx", "subj_raw", "pred", "obj_raw", "rule_id"]
+    assert set(map(tuple, got[cols].itertuples(index=False))) == set(
+        map(tuple, want[cols].itertuples(index=False))
+    )
