@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import canon, extract, link, pipeline, schemas, synth
+from . import canon, extract, io_tables, link, pipeline, schemas, synth
 from .qreg import register
 
 _CACHE: dict[str, dict[str, DataFrame]] = {}
@@ -124,12 +124,12 @@ def canon_rewrite(spark, sf):
 
 @register("triple_materialize", sql=None)
 def triple_materialize(spark, sf):
-    """Full Stage A..E including dedup + lineage + partition keys."""
-    d = corpus_dfs(spark, sf)
-    wd = tempfile.mkdtemp(prefix="kgq_")
-    return pipeline.run_simple(
-        spark, d["transcripts"], d["entity_dict"], wd, input_fingerprint=f"kgq|{sf}"
-    )
+    """Full Stage A..E including dedup + lineage + partition keys (reads
+    the shared checkpointed run's final table)."""
+    import os
+
+    wd = _ckpt_run(spark, sf)
+    return io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
 
 
 @register("agg_minhash_sig", sql=None)
@@ -144,6 +144,23 @@ def agg_minhash_sig(spark, sf):
     return canon.minhash_signatures(surfaces)
 
 
+_CKPT_RUNS: dict[str, str] = {}
+
+
+def _ckpt_run(spark: SparkSession, sf: str) -> str:
+    """One shared checkpointed Stage A..E run per (session, sf): several
+    registry entries expose different facets of the same pipeline artifacts
+    (metrics, sink layout, resume) — run it once, reuse the work_dir."""
+    key = f"{id(spark)}|{_convs_for(sf)}"
+    if key not in _CKPT_RUNS:
+        d = corpus_dfs(spark, sf)
+        wd = tempfile.mkdtemp(prefix="kgm_")
+        cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
+        pipeline.Pipeline(cfg).run(spark, d["transcripts"], d["entity_dict"])
+        _CKPT_RUNS[key] = wd
+    return _CKPT_RUNS[key]
+
+
 @register("sink_metrics", sql=None)
 def sink_metrics(spark, sf):
     """Per-stage / per-partition metrics surface: run the pipeline, return
@@ -152,11 +169,7 @@ def sink_metrics(spark, sf):
     import json
     import os
 
-    d = corpus_dfs(spark, sf)
-    wd = tempfile.mkdtemp(prefix="kgm_")
-    cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
-    p = pipeline.Pipeline(cfg)
-    p.run(spark, d["transcripts"], d["entity_dict"])
+    wd = _ckpt_run(spark, sf)
     rows = []
     for stage in ("B_extract", "C_link", "D_canon", "E_triples"):
         m = json.load(open(os.path.join(wd, stage, "_MANIFEST.json")))
@@ -164,6 +177,60 @@ def sink_metrics(spark, sf):
             rows.append((stage, part, int(n), m["fingerprint"]))
     return spark.createDataFrame(
         rows, "stage string, partition string, rows long, fingerprint string"
+    )
+
+
+@register("sink_triples", sql=None)
+def sink_triples(spark, sf):
+    """The partitioned triple sink itself (SURVEY.md §2(a)): read the
+    E_triples table back from the Iceberg-shim sink and surface its physical
+    layout — one row per part_key with triple count and distinct subjects.
+    At 100 TB this is `spark.read.table("cat.db.triples")` over bucketed
+    Iceberg partitions; readers prune on part_key."""
+    wd = _ckpt_run(spark, sf)
+    import os
+
+    t = io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
+    return t.groupBy("part_key").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+
+
+@register("sink_checkpoint", sql=None)
+def sink_checkpoint(spark, sf):
+    """Exact-resume evidence (BASELINE.json: "resumable from checkpoint"):
+    re-run the pipeline with resume=True over the completed work_dir; every
+    stage must be skipped via its manifest fingerprint chain. Returns one
+    row per stage with the skip flag and manifest row count."""
+    wd = _ckpt_run(spark, sf)
+    d = corpus_dfs(spark, sf)
+    cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
+    p = pipeline.Pipeline(cfg)
+    p.run(spark, d["transcripts"], d["entity_dict"], resume=True)
+    rows = [
+        (m["stage"], bool(m.get("skipped", False)), int(m["rows"]))
+        for m in p.metrics
+    ]
+    return spark.createDataFrame(rows, "stage string, skipped boolean, rows long")
+
+
+@register("join_theta_selfjoin_lsh", sql=None)
+def join_theta_selfjoin_lsh(spark, sf):
+    """Bounded theta self-join (SURVEY.md §2(c)): similar-name pairs from
+    the TPC-H part table. Candidate pairs come ONLY from an equi-join on
+    MinHash-LSH band keys (never a nested loop); survivors verified by
+    exact char-shingle Jaccard. Same kernel the KG canon stage uses, on an
+    independent input surface."""
+    from .qreg import load
+
+    names = (
+        load(spark, sf, "part")
+        .select(F.lower(F.col("p_name")).alias("surface"))
+        .distinct()
+    )
+    return canon.candidate_pairs(names).withColumn(
+        "jaccard", F.round("jaccard", 4)
     )
 
 

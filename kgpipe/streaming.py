@@ -70,9 +70,65 @@ def run_available_now(result: DataFrame, name: str) -> DataFrame:
     return spark.table(qname)
 
 
+@register(
+    "stream_ingest",
+    sql="SELECT event_id, user_id, event_type, value FROM events",
+)
+def stream_ingest(spark, sf):
+    """Streaming file-source ingestion (SURVEY.md §2(j)): readStream over
+    the landing directory, drained with Trigger.availableNow. Draining the
+    full backlog must equal the batch scan exactly — so this one carries a
+    full SQL value oracle, not just a rows check."""
+    s = stream_events(spark, sf).select("event_id", "user_id", "event_type", "value")
+    return run_available_now_append(s, "ingest")
+
+
 @register("stream_window_aggs", sql=None)
 def stream_window_aggs(spark, sf):
     return run_available_now(windowed_rates(stream_events(spark, sf)), "winagg")
+
+
+@register("stream_watermark_late", sql=None)
+def stream_watermark_late(spark, sf):
+    """Watermark late-data semantics: the source is staged as two files
+    drained one per micro-batch (newest events first). Batch 1 advances the
+    event-time watermark near max(ts); batch 2 replays the oldest events,
+    which land beyond the 1-hour watermark and are dropped from their
+    (already emitted, append-mode) windows. Output = windows closed by the
+    watermark — late rows provably excluded."""
+    import os
+    import shutil
+
+    static = spark.read.parquet(f"{sf_dir_events(sf)}").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cut = static.selectExpr(
+        "percentile_approx(ts, 0.75) AS c"
+    ).collect()[0]["c"]
+    d = tempfile.mkdtemp(prefix="wm_src_")
+    static.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{d}/b1")
+    static.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{d}/b2")
+    stage = tempfile.mkdtemp(prefix="wm_in_")
+    for i, sub in enumerate(("b1", "b2")):
+        src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
+        shutil.copy(f"{d}/{sub}/{src}", f"{stage}/{i}_{sub}.parquet")
+    s = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    return run_available_now_append(agg, "wmlate")
+
+
+def sf_dir_events(sf_dir: str) -> str:
+    return f"{sf_dir}/events.parquet"
 
 
 @register("stream_stateful_dedup", sql=None)
