@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .extract import normalize_text_col
 from .qreg import load, register
 
 WORD_NGRAM = 3
@@ -22,9 +21,29 @@ DOC_BANDS = 16
 DOC_JACCARD = 0.5
 
 
+def tokens_col(col: str) -> F.Column:
+    """Normalized word tokens of a text column (one regexp pass)."""
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+
+
+def word_shingles_from_tokens(tok_col: str, n: int = WORD_NGRAM) -> F.Column:
+    """array of distinct word n-grams over a MATERIALIZED token-array
+    column — builtin transform, no UDF. Tokenization must happen in a prior
+    projection: higher-order-function lambdas are interpreted per element,
+    so an inlined `split(regexp_replace(...))` would re-run the regex for
+    every n-gram (measured ~4x slower at sf0.1)."""
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({tok_col}) < {n} THEN array(array_join({tok_col}, ' ')) "
+            f"ELSE transform(sequence(0, size({tok_col}) - {n}), "
+            f"i -> array_join(slice({tok_col}, i + 1, {n}), ' ')) END"
+        )
+    )
+
+
 def word_shingles(col: str, n: int = WORD_NGRAM):
-    """array of distinct word n-grams — builtin transform over the token
-    array, no UDF."""
+    """Convenience single-expression form (tokenizes inline — prefer
+    tokens_col + word_shingles_from_tokens on hot paths)."""
     toks = f"split(lower(trim(regexp_replace({col}, '\\\\s+', ' '))), ' ')"
     return F.array_distinct(
         F.expr(
@@ -40,9 +59,11 @@ def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     verification. Returns (a, b, jaccard)."""
     # base feeds three DAG branches (signature + both verify sides) —
     # persist, or the shingle computation runs three times per action
-    base = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col).alias("sh")
-    ).persist()
+    base = (
+        docs.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("toks"))
+        .select("id", word_shingles_from_tokens("toks").alias("sh"))
+        .persist()
+    )
     ex = base.select("id", F.explode("sh").alias("s"))
     sig = ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(DOC_MINHASH)]
@@ -88,28 +109,32 @@ def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
-def simhash64(col_tokens) -> F.Column:
-    """64-bit SimHash of a token array: per bit, sum +1/-1 weighted by token
-    hash bits; bit set iff the sum is positive. Pure builtin expressions
-    (aggregate over the token array); one pass, no shuffle."""
-    def merge_for(i: int):
-        # exactly-2-arg lambda: pyspark inspects higher-order-fn arity
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    parts = []
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per bit, sum +1/-1 over token-hash bits;
+    bit set iff the sum is positive. Shape: explode tokens -> hash ONCE per
+    token -> 64 conditional sums in one codegen'd HashAggregate (map-side
+    partial agg, so the shuffle carries 64 ints per doc, not the tokens).
+    An earlier higher-order-function formulation (64 F.aggregate passes,
+    each rehashing every token in the interpreted lambda) was ~20x slower."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
+    ).select("id", F.xxhash64("t").alias("h"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
     for i in range(64):
-        bit_i = F.aggregate(col_tokens, F.lit(0), merge_for(i))
-        parts.append(
-            F.when(bit_i > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.bitwiseOR(p)
-    return out
+    return sums.select("id", sig.alias("sig"))
 
 
 # ---------------------------------------------------------------------------
@@ -144,10 +169,7 @@ def dedup_minhash(spark, sf):
 def dedup_simhash(spark, sf):
     """SimHash near-dup candidates: 4x16-bit bands of the 64-bit signature
     as bucket keys; pairs verified by hamming distance <= 6 via bit_count."""
-    docs = load(spark, sf, "documents").select(
-        F.col("doc_id").alias("id"),
-        simhash64(F.split(normalize_text_col(F.col("text")), " ")).alias("sig"),
-    )
+    docs = simhash_df(load(spark, sf, "documents"))
     bands = docs.select(
         "id",
         "sig",

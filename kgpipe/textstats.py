@@ -118,20 +118,24 @@ def text_fingerprint(spark, sf):
 @register("text_winnow_fingerprint", sql=None)  # xxhash64-based -> rows-only
 def text_winnow_fingerprint(spark, sf):
     """Winnowing-style rolling fingerprint: min/max xxhash64 over 8-token
-    windows — a compact near-dup signature computable in one scan."""
-    d = load(spark, sf, "documents")
-    toks = F.split(normalize_text_col(F.col("text")), " ")
+    windows — a compact near-dup signature computable in one scan. Tokens
+    are materialized in a prior projection so the transform lambda (which
+    is interpreted per element) never re-runs the tokenizing regex."""
+    from .dedup import tokens_col
+
     win = 8
+    d = load(spark, sf, "documents").select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
     grams = F.expr(
-        f"CASE WHEN size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) < {win} "
-        f"THEN array(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) "
-        f"ELSE transform(sequence(0, size(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')) - {win}), "
-        f"i -> array_join(slice(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), i + 1, {win}), ' ')) END"
+        f"CASE WHEN size(toks) < {win} THEN array(array_join(toks, ' ')) "
+        f"ELSE transform(sequence(0, size(toks) - {win}), "
+        f"i -> array_join(slice(toks, i + 1, {win}), ' ')) END"
     )
     hashes = F.transform(grams, lambda g: F.xxhash64(g))
     return d.select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
-        F.size(toks).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
     )
