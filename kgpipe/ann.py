@@ -154,6 +154,125 @@ def ann_lsh_topk(spark, sf):
     return lsh_topk(load(spark, sf, "embeddings"))
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids=ANN_QUERY_IDS,
+    k: int = ANN_TOPK,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    vector to a centroid cell; each query probes only its n_probe nearest
+    cells, so the scored candidate set is ~n_probe/n_centroids of the
+    corpus. Centroids are tiny and live on the driver; the probe list is a
+    broadcast join key. At 100 TB: train on a sample, persist centroids as
+    a dim table, partition the corpus BY cell so a probe is a partition
+    pruning, not a shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=PLANE_SEED, featuresCol="fv", predictionCol="cell"
+    ).fit(e)
+    assigned = model.transform(e).select("vec_id", "embedding", "cell")
+    cents = np.array([c for c in model.clusterCenters()])
+    qrows = embeddings.filter(F.col("vec_id").isin(*query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((cents - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(r["vec_id"]), [float(x) for x in qv], int(cell)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@register("ann_ivf_topk", sql=None)  # approximate -> rows-only
+def ann_ivf_topk(spark, sf):
+    return ivf_topk(load(spark, sf, "embeddings"))
+
+
+def blas_topk(
+    embeddings: DataFrame, query_ids=ANN_QUERY_IDS, k: int = ANN_TOPK
+) -> DataFrame:
+    """Exact top-k via an Arrow-batched numpy kernel: queries (normalized)
+    ship in the closure; each corpus batch computes all query cosines as ONE
+    matrix multiply and emits only its per-batch top-k per query (safe:
+    ordering is (rounded cosine desc, neighbor_id asc), so a row cut by a
+    batch's top-k can never enter the global top-k). The global window then
+    merges ~(batches x queries x k) rows. Same result as brute_force_topk —
+    shares its SQL oracle — but the per-row work is BLAS, not an interpreted
+    fold; this is the 100 TB kernel."""
+    import pandas as pd
+
+    qrows = sorted(
+        embeddings.filter(F.col("vec_id").isin(*query_ids)).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows])
+    Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def run(batches):
+        for pdf in batches:
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
+            cos = np.round(Mn @ Qn.T, 6)  # (batch, nq)
+            outs = []
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                cj, ij = cos[mask, j], ids[mask]
+                order = np.lexsort((ij, -cj))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            "neighbor_id": ij[order],
+                            "cosine": cj[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        run, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+@register("ann_bruteforce_blas_topk", sql=_ANN_SQL)
+def ann_bruteforce_blas_topk(spark, sf):
+    return blas_topk(load(spark, sf, "embeddings"))
+
+
 @register(
     "dedup_embedding_cosine",
     sql="""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v

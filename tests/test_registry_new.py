@@ -63,3 +63,24 @@ def test_stream_watermark_drops_late_windows(spark):
         len(got) == all_windows and got["n"].sum()
         < spark.read.parquet(f"{SF}/events.parquet").count()
     )
+
+
+def test_ann_blas_equals_bruteforce(spark):
+    bf = q("ann_bruteforce_topk")(spark, SF).toPandas()
+    bl = q("ann_bruteforce_blas_topk")(spark, SF).toPandas()
+    key = ["query_id", "rnk"]
+    bf = bf.sort_values(key).reset_index(drop=True)
+    bl = bl.sort_values(key).reset_index(drop=True)
+    assert bf[["query_id", "neighbor_id", "rnk"]].equals(
+        bl[["query_id", "neighbor_id", "rnk"]]
+    )
+    assert (bf["cosine"] - bl["cosine"]).abs().max() < 1e-9
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    bf = q("ann_bruteforce_topk")(spark, SF).toPandas()
+    ivf = q("ann_ivf_topk")(spark, SF).toPandas()
+    exact = set(map(tuple, bf[["query_id", "neighbor_id"]].values))
+    approx = set(map(tuple, ivf[["query_id", "neighbor_id"]].values))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # nprobe=4/16 cells; sane floor
