@@ -30,10 +30,13 @@ HEADLINE = [
     "math_funcs",
     "agg_salted_twophase",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_exact",
     "ann_bruteforce_topk",
+    "ann_bruteforce_blas_topk",
     "text_quality_score",
     "text_token_count",
+    "text_lang_id",
 ]
 
 WARM_SF = "/root/testdata/sf0.001"

@@ -74,7 +74,38 @@ def text_quality_score(spark, sf):
     )
 
 
-@register("text_lang_id", sql=None)  # heuristic classifier -> rows-only
+def _lang_id_sql() -> str:
+    hit_cols = ",\n           ".join(
+        "LEN(LIST_INTERSECT(toks, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"])) AS h_{lang}"
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    langs_desc = sorted(LANG_STOPWORDS, reverse=True)
+    # Spark's array_max over struct(hits, lang) tie-breaks on the LARGER
+    # lang code; replicate by checking languages in reverse lexicographic
+    # order
+    case = " ".join(
+        f"WHEN h_{lang} = mx THEN '{lang}'" for lang in langs_desc[:-1]
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             LIST_DISTINCT(STRING_SPLIT(
+               LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+           {hit_cols}
+      FROM t),
+    m AS (SELECT *, GREATEST({", ".join("h_" + l for l in sorted(LANG_STOPWORDS))}) AS mx FROM h)
+    SELECT doc_id,
+           CASE {case} ELSE '{langs_desc[-1]}' END AS lang_pred,
+           mx AS stopword_hits
+    FROM m"""
+
+
+@register("text_lang_id", sql=_lang_id_sql())
 def text_lang_id(spark, sf):
     """Language ID by stopword-hit ratio: tokenize once, score each language
     via array_intersect against its stopword list, argmax with deterministic
