@@ -66,14 +66,18 @@ def corpus_parquet(n_convs: int) -> str:
     return d
 
 
-def run_kg_pipeline(spark, corpus_dir: str, tag: str) -> tuple[float, int]:
+def run_kg_pipeline(
+    spark, corpus_dir: str, tag: str, checkpoints: bool = True
+) -> tuple[float, int]:
     from kgpipe import pipeline, schemas
 
     t = spark.read.schema(schemas.TRANSCRIPTS).parquet(f"{corpus_dir}/transcripts.parquet")
     e = spark.read.schema(schemas.ENTITY_DICT).parquet(f"{corpus_dir}/entity_dict.parquet")
     t0 = time.time()
     cfg = pipeline.PipelineConfig(
-        work_dir=tempfile.mkdtemp(prefix=f"bench_{tag}_"), input_fingerprint=tag
+        work_dir=tempfile.mkdtemp(prefix=f"bench_{tag}_"),
+        input_fingerprint=tag,
+        checkpoints=checkpoints,
     )
     out = pipeline.Pipeline(cfg).run(spark, t, e)
     n = out.count()
@@ -110,6 +114,10 @@ def main() -> int:
     corpus_dir = corpus_parquet(n_convs)
     kg_wall, n_triples = run_kg_pipeline(spark, corpus_dir, "bench")
     timings["kg_pipeline_e2e"] = round(kg_wall, 3)
+    # fused mode: in-memory stage boundaries (no resume) — the throughput
+    # config; reported separately so both modes are visible per-round
+    fused_wall, _ = run_kg_pipeline(spark, corpus_dir, "fused", checkpoints=False)
+    timings["kg_pipeline_fused"] = round(fused_wall, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,6 +132,7 @@ def main() -> int:
                 "kg_corpus_turns_approx": n_convs * 70,
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_wall, 1),
+                "kg_triples_per_sec_fused": round(n_triples / fused_wall, 1),
             }
         )
     )

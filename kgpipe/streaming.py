@@ -131,6 +131,54 @@ def sf_dir_events(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
+@register("stream_stateful_applyinpandas", sql=None)
+def stream_stateful_applyinpandas(spark, sf):
+    """Arbitrary stateful per-conversation processing
+    (applyInPandasWithState, SURVEY.md §2(j)): the corpus arrives as two
+    micro-batches (turn_idx parity split); per conv_id the state carries
+    the running turn count across batches, each batch emitting the
+    conversation's cumulative progress. This is the shape incremental
+    per-conversation extraction state would use at 10^12-turn scale."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from . import schemas, synth
+
+    c = synth.generate(n_convs=40)
+    src = tempfile.mkdtemp(prefix="state_in_")
+    t = c.transcripts
+    t[t["turn_idx"] % 2 == 0].to_parquet(os.path.join(src, "0_even.parquet"), index=False)
+    t[t["turn_idx"] % 2 == 1].to_parquet(os.path.join(src, "1_odd.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(schemas.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def track(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+        seen += batch_rows
+        state.update((seen,))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "batch_rows": [batch_rows], "turns_seen": [seen]}
+        )
+
+    out = stream.groupBy("conv_id").applyInPandasWithState(
+        track,
+        outputStructType="conv_id string, batch_rows int, turns_seen int",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now_append(out, "stateful")
+
+
 @register("stream_stateful_dedup", sql=None)
 def stream_stateful_dedup(spark, sf):
     s = stream_events(spark, sf).withWatermark("ts", "2 hours")

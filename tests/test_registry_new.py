@@ -84,3 +84,40 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     approx = set(map(tuple, ivf[["query_id", "neighbor_id"]].values))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # nprobe=4/16 cells; sane floor
+
+
+def test_stateful_applyinpandas_accumulates_across_batches(spark):
+    out = q("stream_stateful_applyinpandas")(spark, SF).toPandas()
+    # two micro-batches (turn parity split) -> each conv reports twice
+    assert (out.groupby("conv_id").size() == 2).all()
+    # state accumulates: final turns_seen per conv == sum of its batch_rows
+    final = out.groupby("conv_id").agg(
+        total=("batch_rows", "sum"), last_seen=("turns_seen", "max")
+    )
+    assert (final["total"] == final["last_seen"]).all()
+
+
+def test_resume_from_mid_pipeline_crash(spark, transcripts_df, entity_dict_df, tmp_path):
+    """Simulated crash after Stage C: a resumed full run must skip B and C
+    (manifest fingerprints) and produce the same triples as a clean run."""
+    from kgpipe import pipeline
+
+    wd_crash = str(tmp_path / "crash")
+    cfg = pipeline.PipelineConfig(work_dir=wd_crash, input_fingerprint="crash")
+    p1 = pipeline.Pipeline(cfg)
+    p1.run(spark, transcripts_df, entity_dict_df, stop_after="C")
+    assert {m["stage"] for m in p1.metrics} == {"B_extract", "C_link"}
+
+    p2 = pipeline.Pipeline(pipeline.PipelineConfig(work_dir=wd_crash, input_fingerprint="crash"))
+    out = p2.run(spark, transcripts_df, entity_dict_df, resume=True)
+    by_stage = {m["stage"]: m for m in p2.metrics}
+    assert by_stage["B_extract"]["skipped"] and by_stage["C_link"]["skipped"]
+    assert not by_stage["D_canon"]["skipped"]
+
+    wd_clean = str(tmp_path / "clean")
+    clean = pipeline.run_simple(
+        spark, transcripts_df, entity_dict_df, wd_clean, input_fingerprint="crash"
+    )
+    a = set(map(tuple, out.select("subj", "pred", "obj").toPandas().values))
+    b = set(map(tuple, clean.select("subj", "pred", "obj").toPandas().values))
+    assert a == b
