@@ -1,0 +1,113 @@
+"""Dump annotated physical plans for representative queries -> PLANS.md.
+
+The scale claims in README/DEPLOY must be visible in the executed plans:
+pushed filters, pruned read schemas, broadcast joins, single-shuffle
+stages, whole-stage codegen, TakeOrderedAndProject for top-k. This tool
+captures `.explain("formatted")` output per query and checks the expected
+physical markers, so plan regressions show up in review diffs.
+
+Usage: python tools/explain_dump.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (markers that MUST appear, one-line rationale)
+EXPECTATIONS: dict[str, tuple[list[str], str]] = {
+    "scan_parquet": (
+        ["PushedFilters: [", "*(1)"],
+        "filter + projection reach the parquet reader; `*(n)` = the stage "
+        "is whole-stage-codegen compiled",
+    ),
+    "join_broadcast": (
+        ["BroadcastHashJoin"],
+        "dimension side explicitly broadcast — no shuffle of the fact table",
+    ),
+    "join_salted_skew": (
+        ["BroadcastHashJoin", "xxhash64"],
+        "salt = pmod(xxhash64(key), K) fans hot keys; dim exploded over salts",
+    ),
+    "limit_topk_global": (
+        ["TakeOrderedAndProject"],
+        "global top-k without a global sort",
+    ),
+    "agg_hash": (
+        ["HashAggregate", "partial_"],
+        "partial (map-side) + final aggregate — combine before shuffle",
+    ),
+    "agg_salted_twophase": (
+        ["HashAggregate"],
+        "two explicit phases: (key,salt) pre-agg then key merge",
+    ),
+    "win_topk_cand": (
+        ["WindowGroupLimit", "Window"],
+        "per-group top-k: Spark pushes a PARTIAL group-limit below the "
+        "shuffle, so only ~k rows per group per task shuffle at all",
+    ),
+    "dedup_exact": (
+        ["HashAggregate", "*(1)"],
+        "hash groupBy on normalized text key — exact dedup in one shuffle, "
+        "codegen-compiled",
+    ),
+    "udf_triple_extract": (
+        ["MapInPandas", "Filter"],
+        "JVM anchor prefilter BEFORE the single Arrow pass (rows that cannot "
+        "match any rule never reach Python)",
+    ),
+    "ann_bruteforce_blas_topk": (
+        ["MapInPandas", "Window"],
+        "per-batch BLAS top-k in Python, global merge via window — the "
+        "shuffle carries batches*queries*k rows, not the corpus",
+    ),
+}
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from kgpipe.session import get_spark
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    print("# PLANS — annotated physical plans (auto-generated)")
+    print()
+    print("`python tools/explain_dump.py`; each section lists the physical")
+    print("markers the design requires and the executed plan that proves")
+    print("them, at sf0.001. A missing marker prints **MISSING** — treat as")
+    print("a regression.")
+    failures = []
+    for name, (markers, why) in EXPECTATIONS.items():
+        df = qs[name](spark, SF)
+        # execute first via the DataFrame's OWN query execution (collect —
+        # a write wraps the plan in a separate execution and the original
+        # AQE plan never finalizes): join strategy picks and codegen spans
+        # only appear in the final plan
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"\n## {name}\n")
+        print(f"_{why}_\n")
+        for m in markers:
+            ok = m in plan
+            if not ok:
+                failures.append((name, m))
+            print(f"- `{m}`: {'present' if ok else '**MISSING**'}")
+        print("\n```")
+        # first 60 lines of the plan keep the file reviewable
+        print("\n".join(plan.splitlines()[:60]))
+        print("```")
+    print()
+    if failures:
+        print(f"**{len(failures)} marker(s) missing: {failures}**")
+        return 1
+    print("**All expected physical markers present.**")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
