@@ -61,6 +61,9 @@ def write_stage(
         "partition_counts": partition_counts,
         "wall_ms": int((time.time() - t0) * 1000),
         "format": "parquet-shim",  # prod: "iceberg" (manifest comes free)
+        # schema travels with the checkpoint: a zero-row stage writes no
+        # parquet data files, so read-back must not depend on inference
+        "schema": df.schema.jsonValue(),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -68,9 +71,23 @@ def write_stage(
 
 
 def read_stage(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    if schema is None:
+        m = read_manifest(path)
+        if m is not None and "schema" in m:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(m["schema"])
     r = spark.read
     if schema is not None:
         r = r.schema(schema)
+        has_data = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(path)
+            for f in fs
+        )
+        if not has_data:
+            # zero-row checkpoint: no data files to scan at all
+            return spark.createDataFrame([], schema)
     return r.parquet(path)
 
 
