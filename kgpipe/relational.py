@@ -703,3 +703,48 @@ def hash_funcs(spark, sf):
         ).alias("row_sha"),
         F.md5("o_orderpriority").alias("pri_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# additional engine surface: pivot + deterministic sampling (training-data
+# corpus sampling at 100 TB is a first-class op: seeded, partition-stable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pivot",
+    sql="""SELECT l_returnflag,
+                  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+                  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+           FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_pivot(spark, sf):
+    """groupBy().pivot() with an EXPLICIT value list: at scale, never let
+    pivot run its implicit distinct-scan to discover columns."""
+    p = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("bigint")))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+@register("sample_fraction", sql=None)  # sampling -> rows-only
+def sample_fraction(spark, sf):
+    """Seeded Bernoulli sample — deterministic for a fixed seed and input
+    partitioning (the corpus-subsampling primitive)."""
+    return load(spark, sf, "orders").sample(fraction=0.1, seed=42)
+
+
+@register("sample_stratified", sql=None)  # sampling -> rows-only
+def sample_stratified(spark, sf):
+    """Per-stratum sampling rates via sampleBy — e.g. downsample the
+    dominant document language/class while keeping rare strata whole."""
+    return load(spark, sf, "orders").sampleBy(
+        "o_orderstatus", fractions={"F": 0.05, "O": 0.2, "P": 1.0}, seed=42
+    )
