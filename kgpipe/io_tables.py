@@ -43,16 +43,27 @@ def write_stage(
     # per-partition row counts straight from parquet footers (driver-side
     # metadata read — no second Spark scan of the stage output). Keys are
     # the hive partition dirs when partitioned, else the file names.
+    # Footer reads are I/O-latency bound and independent — do them in a
+    # thread pool so a wide sink (100s of buckets) doesn't serialize.
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    partition_counts: dict[str, int] = {}
+    targets: list[tuple[str, str]] = []
     for root, _dirs, files in os.walk(path):
         for fname in files:
             if not fname.endswith(".parquet"):
                 continue
-            n = pq.ParquetFile(os.path.join(root, fname)).metadata.num_rows
             key = os.path.relpath(root, path)
             key = key if key != "." else fname
+            targets.append((key, os.path.join(root, fname)))
+
+    def footer_rows(t: tuple[str, str]) -> tuple[str, int]:
+        return t[0], pq.ParquetFile(t[1]).metadata.num_rows
+
+    partition_counts: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        for key, n in ex.map(footer_rows, targets):
             partition_counts[key] = partition_counts.get(key, 0) + n
     manifest = {
         "stage": stage,

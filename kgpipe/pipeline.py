@@ -231,10 +231,18 @@ class Pipeline:
             key = ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id"]
             from pyspark.sql.window import Window
 
+            # task count is decoupled from the bucket count: hash(part_key)
+            # puts each bucket wholly inside one task at ANY task count, so
+            # the dedup window still rides this shuffle and the sink still
+            # gets exactly one file per part_key dir — but the job runs
+            # ~2x cores tasks instead of triple_parts tasks (serial task
+            # dispatch on 100s of near-empty tasks was pure fixed cost at
+            # small scale; at cluster scale nparts >= triple_parts anyway)
+            n_tasks = min(self.cfg.triple_parts, nparts)
             with_key = canoned.withColumn(
                 "part_key",
                 F.pmod(F.xxhash64("subj"), F.lit(self.cfg.triple_parts)).cast("int"),
-            ).repartition(self.cfg.triple_parts, "part_key")
+            ).repartition(n_tasks, "part_key")
             # part_key leads the window keys so hash(part_key) satisfies the
             # window's clustering requirement — no second shuffle (part_key
             # is functionally dependent on subj, so dedup semantics hold)

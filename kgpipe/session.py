@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at Spark's default (true). The tempting
+        # alternative — size-based coalescing (parallelismFirst=false) —
+        # was measured BOTH ways: it cuts tiny-stage scheduling overhead
+        # in the canon DAG (fused 4M pipeline 13.4s -> 9.5s on local[32])
+        # but halves 16M-turn throughput (103s vs 50s) because byte size
+        # is a bad proxy for CPU-bound extraction work and AQE under-
+        # parallelizes the big stages. Parallelism wins at scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
