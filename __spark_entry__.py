@@ -24,6 +24,7 @@ import kgpipe.ann  # noqa: F401
 import kgpipe.textstats  # noqa: F401
 import kgpipe.multimodal  # noqa: F401
 import kgpipe.kgqueries  # noqa: F401
+import kgpipe.curate  # noqa: F401
 import kgpipe.streaming  # noqa: F401
 import kgpipe.grouped  # noqa: F401
 from kgpipe.qreg import REGISTRY

@@ -121,3 +121,24 @@ def test_resume_from_mid_pipeline_crash(spark, transcripts_df, entity_dict_df, t
     a = set(map(tuple, out.select("subj", "pred", "obj").toPandas().values))
     b = set(map(tuple, clean.select("subj", "pred", "obj").toPandas().values))
     assert a == b
+
+
+def test_corpus_curation_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from kgpipe.dedup import DOC_JACCARD, doc_minhash_pairs
+
+    kept = q("corpus_curation")(spark, SF)
+    kept_pdf = kept.toPandas()
+    assert 0 < len(kept_pdf) <= 500
+    assert (kept_pdf["lang_pred"] == "en").all()
+    # no exact dups survive
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    texts = kept_docs.select(F.lower(F.trim("text")).alias("k"))
+    assert texts.count() == texts.distinct().count()
+    # no near-dup pair (>= threshold) survives within the kept set
+    surviving_pairs = doc_minhash_pairs(kept_docs).filter(
+        F.col("jaccard") >= DOC_JACCARD
+    )
+    assert surviving_pairs.count() == 0
