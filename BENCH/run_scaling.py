@@ -86,7 +86,9 @@ def run_level(cores: int, corpus: str, trials: int, checkpoints: bool) -> dict:
     # N-core level gets N executors' worth of heap, 4N gets 4x. A flat
     # heap would make the larger level GC 4x harder on the same garbage
     # rate — an artifact no real 4N cluster has.
-    env["KGPIPE_DRIVER_MEM"] = f"{3 * cores}g"
+    # capped: heap + tmpfs shuffle files + OS must fit the box's RAM — an
+    # uncapped 3g x 32 = 96g heap thrashed the 125G host
+    env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True,
