@@ -119,20 +119,22 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
     ).select("id", F.xxhash64("t").alias("h"))
+    # branch-free: per bit, SUM of the raw bit plus one COUNT; the +1/-1
+    # vote sum is 2*bits_i - n, so "sum positive" == "2*bits_i > n"
     sums = toks.groupBy("id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b_{i}")
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"b_{i}")
             for i in range(64)
-        ]
+        ],
     )
     sig = F.lit(0).cast("long")
     for i in range(64):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"b_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"b_{i}") * 2 > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return sums.select("id", sig.alias("sig"))
 
