@@ -310,7 +310,8 @@ def agg_hash(spark, sf):
 
 @register(
     "agg_salted_twophase",
-    sql="""SELECT l_suppkey AS suppkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty,
+    sql="""SELECT l_suppkey AS suppkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
                   COUNT(*) AS n
            FROM lineitem GROUP BY l_suppkey""",
 )
@@ -370,7 +371,7 @@ def agg_collect(spark, sf):
 @register(
     "agg_grouping_sets",
     sql="""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-                  SUM(CAST(l_quantity AS BIGINT)) AS qty
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
 def agg_grouping_sets(spark, sf):
@@ -714,8 +715,8 @@ def hash_funcs(spark, sf):
 @register(
     "agg_pivot",
     sql="""SELECT l_returnflag,
-                  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
-                  SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+                  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+                  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
            FROM lineitem GROUP BY l_returnflag""",
 )
 def agg_pivot(spark, sf):

@@ -41,10 +41,6 @@ def canon_frame(df: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype(str)
         elif "datetime" in str(out[c].dtype):
             out[c] = out[c].astype("datetime64[us]").astype(str)
-        elif out[c].dtype.kind == "f":
-            out[c] = out[c].round(6)
-        elif out[c].dtype.kind in "iu":
-            out[c] = out[c].astype("int64")
     return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -53,6 +49,15 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
         return f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         return f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+    # STRICT dtype-kind check: the driver value-hashes the materialized
+    # frames, so int64 vs float64 on the same values (e.g. DuckDB HUGEINT
+    # sums landing as float64) is a driver hash mismatch even though the
+    # values compare equal — r01 failed agg_salted_twophase/grouping_sets/
+    # pivot exactly this way while the old coercing compare stayed green.
+    for c in sorted(spark_pdf.columns):
+        ks, kd = spark_pdf[c].dtype.kind, duck_pdf[c].dtype.kind
+        if ks != kd and {ks, kd} != {"i", "u"} and "M" not in (ks, kd):
+            return f"dtype-kind {c}: spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
     a, b = canon_frame(spark_pdf), canon_frame(duck_pdf)
     try:
         # exact: the driver hashes values, so bit-level drift is a failure
