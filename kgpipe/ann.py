@@ -22,7 +22,6 @@ from .qreg import load, register
 
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 ANN_TOPK = 10
-LSH_PLANES = 4  # 2^4 buckets; scale this with corpus size (recall knob)
 PLANE_SEED = 20260816
 
 
@@ -71,54 +70,102 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(dims: int, n_planes: int = LSH_PLANES, seed: int = PLANE_SEED) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dims)).round(6).tolist()
+LSH_TABLES = 8  # OR-amplification: recall = 1-(1-p^bits)^tables
+LSH_BITS = 5  # bucket fan-out 2^bits per table; size to n/bucket_target
 
 
-def lsh_bucket_col(vec, planes: list[list[float]]) -> F.Column:
-    """Bucket key = bit pattern of sign(v·p_i) — data-independent fixed
-    hyperplanes, so the same vector always lands in the same bucket on any
-    cluster size."""
-    key = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        pa = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(
-            _dot(vec, pa) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        key = key.bitwiseOR(bit)
-    return key
+def lsh_keys(
+    embeddings: DataFrame,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_BITS,
+    seed: int = PLANE_SEED,
+) -> DataFrame:
+    """(vec_id, tbl, bucket) sign-LSH keys for every vector, multi-table.
+
+    One Arrow-batched numpy pass: the (tables*bits, dims) hyperplane matrix
+    is regenerated INSIDE each worker from the fixed seed and the batch's
+    own vector width — no driver-side `.first()` dims probe, no per-plane
+    literal arrays in the plan, and the whole key computation is one BLAS
+    matmul per batch instead of tables*bits interpreted fold expressions.
+    Data-independent planes => the same vector always lands in the same
+    bucket at any cluster size / partitioning.
+    """
+    import pandas as pd
+
+    def run(batches):
+        planes = None
+        for pdf in batches:
+            M = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((n_tables * n_bits, M.shape[1]))
+            bits = (M @ planes.T) > 0  # (batch, tables*bits)
+            ids = pdf["vec_id"].to_numpy()
+            weights = 1 << np.arange(n_bits)
+            outs = []
+            for t in range(n_tables):
+                block = bits[:, t * n_bits : (t + 1) * n_bits]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": t,
+                            "bucket": block @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, tbl int, bucket long"
+    )
 
 
 def lsh_topk(
     embeddings: DataFrame,
     query_ids=ANN_QUERY_IDS,
     k: int = ANN_TOPK,
-    n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_BITS,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to vectors sharing the
-    query's hyperplane-sign bucket (equi-join on bucket key)."""
-    dims = len(embeddings.select("embedding").first()[0])
-    planes = hyperplanes(dims, n_planes)
-    with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col("embedding"), planes)
+    """Approximate top-k: candidates = union over n_tables hash tables of
+    the query's bucket — an equi-join on (tbl, bucket), never a scan of the
+    full corpus. Multi-table OR-amplification is the recall knob (a single
+    table has a recall cliff: one flipped plane loses the neighbor); n_bits
+    controls bucket fan-out and should grow with corpus size so per-bucket
+    candidate counts stay bounded. At 100 TB: bucket the corpus table BY
+    (tbl, bucket) so a query probe is partition pruning, not a shuffle."""
+    keys = lsh_keys(embeddings, n_tables, n_bits).persist()
+    q = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    q = with_bucket.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    qk = keys.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
-    c = with_bucket.select(F.col("vec_id").alias("neighbor_id"), "embedding", "bucket")
-    scored = c.join(F.broadcast(q), "bucket").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cand = (
+        keys.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+        .join(F.broadcast(qk), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        scored.select(
+    scored = (
+        cand.join(
+            embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
             "query_id",
             "neighbor_id",
             F.round(cosine_col(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
 
@@ -235,23 +282,46 @@ def blas_topk(
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
+    MARGIN = 32  # preselect depth beyond k; see fold-rescore note below
+
     def run(batches):
         for pdf in batches:
             M = np.array(list(pdf["embedding"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-30, None)
-            cos = np.round(Mn @ Qn.T, 6)  # (batch, nq)
+            cos = np.round(Mn @ Qn.T, 6)  # (batch, nq) — BLAS preselect
+            # Exact-fold rescore: the BLAS matmul sums products in a
+            # different order than the SQL-oracle's left-to-right fold, so
+            # a cosine within ~1 ulp of a 1e-6 rounding boundary could
+            # round differently and flip the driver's exact value-hash.
+            # The emitted score is therefore recomputed for the (k+MARGIN)
+            # preselected rows with np.cumsum — a strict running sum, i.e.
+            # bit-identical to the left fold both Spark's F.aggregate and
+            # DuckDB's LIST_SUM evaluate — and the final per-batch top-k is
+            # re-ranked on that value. MARGIN covers rows a boundary flip
+            # could promote past; flips need the unrounded value within
+            # ~1e-12 of the grid edge (~1e-6 probability per row).
+            fold_dot = lambda A, v: np.cumsum(A * v[None, :], axis=1)[:, -1]
+            fold_sq = lambda A: np.cumsum(A * A, axis=1)[:, -1]
             outs = []
+            m_norm = np.sqrt(fold_sq(M))
             for j, qid in enumerate(qids):
                 mask = ids != qid
                 cj, ij = cos[mask, j], ids[mask]
-                order = np.lexsort((ij, -cj))[:k]
+                pre = np.lexsort((ij, -cj))[: k + MARGIN]
+                rows = np.flatnonzero(mask)[pre]
+                q = Q[j]
+                q_norm = np.sqrt(np.cumsum(q * q)[-1])
+                exact = np.round(
+                    fold_dot(M[rows], q) / (q_norm * m_norm[rows]), 6
+                )
+                order = np.lexsort((ids[rows], -exact))[:k]
                 outs.append(
                     pd.DataFrame(
                         {
                             "query_id": int(qid),
-                            "neighbor_id": ij[order],
-                            "cosine": cj[order],
+                            "neighbor_id": ids[rows][order],
+                            "cosine": exact[order],
                         }
                     )
                 )
@@ -273,6 +343,88 @@ def ann_bruteforce_blas_topk(spark, sf):
     return blas_topk(load(spark, sf, "embeddings"))
 
 
+def blocked_cosine_pairs(
+    embeddings: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """Exhaustive cosine-similarity self-join via blocked BLAS — the scale
+    path for LOW similarity thresholds.
+
+    Why not LSH here: at this operator's threshold (0.45, angle ~63°) the
+    per-hyperplane agreement probability is ~0.65, so ANY sign-LSH banding
+    sized for recall~1 generates MORE candidate pairs than the n² it is
+    meant to avoid (measured on this corpus: recall-0.99 needs ~24 tables
+    of 4 bits => 1.5x all pairs). LSH prefiltering only pays at near-dup
+    thresholds (>=0.8); see lsh_topk for that regime. The honest exhaustive
+    plan is the classic triangle block-join: split the corpus into B blocks,
+    replicate each row to the B+1 block-pairs containing its block (O(n*B)
+    shuffle, B chosen so a block pair fits executor memory), and compute
+    each block-pair's cosines as ONE numpy matrix multiply — O(n²) work
+    with a BLAS constant factor, evenly spread over B(B+1)/2 tasks. No
+    BroadcastNestedLoopJoin, no driver involvement.
+
+    Emitted values use the same left-to-right fold arithmetic as the
+    DuckDB oracle (np.cumsum rescore of matmul-preselected pairs), so the
+    driver's exact value-hash holds; each unordered pair is computed in
+    exactly one block-pair group, so results are partitioning-independent.
+    """
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    e = embeddings.select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(n_blocks)).alias("g")
+    )
+    left = e.join(F.broadcast(bp), e.g == bp.bi).select(
+        "bi", "bj", F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = e.join(F.broadcast(bp), e.g == bp.bj).select(
+        "bi", "bj", F.lit("R").alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        diag = bi == bj
+        if diag:  # diagonal groups carry each row twice (L and R tags)
+            lp = rp = pdf[pdf["side"] == "L"]
+        else:
+            lp, rp = pdf[pdf["side"] == "L"], pdf[pdf["side"] == "R"]
+        L = np.array(list(lp["embedding"]), dtype=np.float64)
+        R = np.array(list(rp["embedding"]), dtype=np.float64)
+        lid, rid = lp["vec_id"].to_numpy(), rp["vec_id"].to_numpy()
+        Ln = L / np.clip(np.linalg.norm(L, axis=1, keepdims=True), 1e-30, None)
+        Rn = R / np.clip(np.linalg.norm(R, axis=1, keepdims=True), 1e-30, None)
+        cos = Ln @ Rn.T
+        ii, jj = np.nonzero(cos >= threshold - 1e-9)  # BLAS preselect
+        if diag:
+            # upper triangle only: each unordered pair exactly once
+            keep = lid[ii] < rid[jj]
+            ii, jj = ii[keep], jj[keep]
+        # off-diagonal: every L x R pair is unique already (disjoint blocks)
+        # fold-exact rescore (matches DuckDB LIST_SUM / Spark F.aggregate)
+        fold = lambda A: np.cumsum(A, axis=1)[:, -1] if len(A) else np.empty(0)
+        dots = fold(L[ii] * R[jj])
+        nl = np.sqrt(fold(L[ii] * L[ii]))
+        nr = np.sqrt(fold(R[jj] * R[jj]))
+        exact = dots / (nl * nr)
+        ok = exact >= threshold
+        la, rb = lid[ii][ok], rid[jj][ok]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(la, rb),
+                "b": np.maximum(la, rb),
+                "cosine": np.round(exact[ok], 6),
+            }
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        kernel, "a long, b long, cosine double"
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     sql="""WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -288,15 +440,7 @@ def ann_bruteforce_blas_topk(spark, sf):
                     * SQRT(LIST_SUM(LIST_TRANSFORM(b.v, x -> x * x)))) >= 0.45""",
 )
 def dedup_embedding_cosine(spark, sf):
-    """Embedding near-dup pairs (cosine >= 0.45 on this corpus; production
-    threshold ~0.95 with an LSH pre-filter — this exercises the exact path)."""
-    e = load(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    cos = cosine_col(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(cos >= 0.45)
-        .select("a", "b", "cosine")
-    )
+    """Embedding near-dup pairs (cosine >= 0.45 on this corpus): blocked
+    BLAS exhaustive self-join — see blocked_cosine_pairs for why LSH is the
+    wrong prefilter at this threshold and what the 100 TB layout is."""
+    return blocked_cosine_pairs(load(spark, sf, "embeddings"), threshold=0.45)

@@ -219,21 +219,27 @@ def join_outer(spark, sf):
            GROUP BY e1.event_id""",
 )
 def join_range_asof(spark, sf):
-    """Interval join: per event, how many events the same user produced in
-    the preceding hour. Equi on user_id keeps it a hash/SMJ join; the ts
-    range is a post-join predicate — never a nested loop over all rows."""
+    """Interval query: per event, how many events the same user produced in
+    the preceding hour.
+
+    Plan: a RANGE window over unix_micros(ts), partitioned by user_id —
+    ONE shuffle + ONE sort, zero joins. The r1 formulation (equi-join on
+    user_id with the 1-hour bound as a post-join predicate) generated
+    O(per-user-rows²) candidate pairs before filtering — a blow-up on any
+    hot user at scale; the window frame [-3600s, -1µs] visits each row's
+    candidates in the already-sorted run instead. Frame bounds are in
+    microseconds (parquet timestamp precision), so `ts ∈ [cur-1h, cur)`
+    is matched exactly, including sub-second event times."""
     e = load(spark, sf, "events")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") >= F.col("e1.ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("e2.ts") < F.col("e1.ts"))
+    w = (
+        Window.partitionBy("user_id")
+        # parquet ts is TIMESTAMP_NTZ; the cast only anchors a timezone and
+        # is order/difference-preserving, so the range frame is unaffected
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, -1)
     )
-    return (
-        e1.join(e2, cond, "left")
-        .groupBy(F.col("e1.event_id").alias("event_id"))
-        .agg(F.count(F.col("e2.event_id")).alias("prior_cnt"))
+    return e.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("prior_cnt")
     )
 
 
