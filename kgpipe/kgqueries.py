@@ -1,62 +1,280 @@
-"""KG-pipeline operators as registry entries (rows-only oracle).
+"""KG-pipeline operators as registry entries, with DuckDB SQL oracles.
 
-These run on the deterministic synthetic transcript corpus (FIXTURES.md §2,
-seeded — no external data), sized by the sf directory the driver passes.
-The DuckDB views only cover the TPC-H-ish tables, so these register
-sql=None; their value-level correctness is enforced by tests/ (pandas
-oracle parity + golden fixture P/R) rather than the SQL oracle.
+The deterministic synthetic transcript corpus (FIXTURES.md §2, seeded — no
+external data) is staged as parquet at an import-time-known path
+(synth.stage_corpus), so BOTH engines read the same files: the Spark
+entries scan it with spark.read.parquet, and the oracle SQL strings below
+read it with DuckDB read_parquet. That upgrades the KG operators from
+rows-only checks to full value-hash checks: the oracle SQL re-derives the
+ENTIRE pipeline — normalization, per-rule regex extraction, alias linking,
+char-shingle Jaccard edges, connected components (recursive CTE), rewrite,
+dedup, sha256 lineage ids and sink part keys — in pure ANSI-ish SQL from
+the shared declarative rule set (kgpipe/rules.py), no Python in the loop.
+
+Oracle-ability notes:
+- The SQL twin's CC uses ALL-PAIRS Jaccard edges (same ground truth as the
+  pandas oracle, kgpipe/oracle.py); the Spark pipeline's MinHash-LSH
+  blocking provably recovers every >=threshold pair on this corpus
+  (tests/test_oracle_parity.py P/R == 1.0 gate), so the two edge sets
+  agree here. On adversarial data LSH is probabilistic — that recall gap
+  is the documented approximation, not a bug.
+- Operators whose values depend on xxhash64 (agg_minhash_sig) or on
+  manifest/runtime state (sink_metrics, sink_checkpoint) stay rows-only.
 """
 
 from __future__ import annotations
 
+import atexit
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import canon, extract, io_tables, link, pipeline, schemas, synth
+from . import canon, extract, io_tables, link, pipeline, synth
 from .qreg import register
+from .rules import RULES
+
+# ---------------------------------------------------------------------------
+# staged corpus + caches
+# ---------------------------------------------------------------------------
+
+# ONE corpus size for every registry consumer: the oracle SQL strings are
+# bound to this staged path at import time, so the Spark side must read the
+# same corpus at every sf the harness passes (sf only scales the TPC-H-ish
+# tables; the KG corpus is ours). entry() keeps its own smaller smoke corpus.
+ORACLE_CONVS = 150
+CORPUS_DIR = synth.stage_corpus(ORACLE_CONVS)  # import-time: path is static
 
 _CACHE: dict[str, dict[str, DataFrame]] = {}
 
 
 def _convs_for(sf_dir: str) -> int:
-    # keep driver correctness runs fast; bench.py scales separately
-    return 60 if "0.001" in sf_dir else 150
+    return ORACLE_CONVS
 
 
 def corpus_dfs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = f"{id(spark)}|{_convs_for(sf_dir)}"
+    """Parquet-backed corpus scan (a real source operator, not a
+    createDataFrame upload). Cache key includes applicationId — unique per
+    SparkSession — so a recycled id(spark) address can never serve
+    DataFrames owned by a dead session."""
+    n = _convs_for(sf_dir)
+    key = f"{spark.sparkContext.applicationId}|{n}"
     if key not in _CACHE:
-        c = synth.generate(n_convs=_convs_for(sf_dir))
-        t = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS).cache()
-        e = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT).cache()
+        d = synth.stage_corpus(n)
+        t = spark.read.parquet(f"{d}/transcripts.parquet").cache()
+        e = spark.read.parquet(f"{d}/entity_dict.parquet").cache()
         _CACHE[key] = {"transcripts": t, "entity_dict": e}
     return _CACHE[key]
 
 
-@register("scan_transcripts", sql=None)
+_CKPT_RUNS: dict[str, str] = {}
+
+
+def _ckpt_run(spark: SparkSession, sf: str) -> str:
+    """One shared checkpointed Stage A..E run per (session, corpus): several
+    registry entries expose different facets of the same pipeline artifacts
+    (triple table, metrics, sink layout, resume) — run it once, reuse the
+    work_dir."""
+    key = f"{spark.sparkContext.applicationId}|{_convs_for(sf)}"
+    if key not in _CKPT_RUNS:
+        d = corpus_dfs(spark, sf)
+        wd = tempfile.mkdtemp(prefix="kgm_")
+        cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
+        pipeline.Pipeline(cfg).run(spark, d["transcripts"], d["entity_dict"])
+        _CKPT_RUNS[key] = wd
+    return _CKPT_RUNS[key]
+
+
+@atexit.register
+def _cleanup_ckpt_dirs() -> None:
+    for wd in _CKPT_RUNS.values():
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# the SQL twin: shared CTE chain rendered from the declarative rule set
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def _sql_pattern(pattern: str) -> tuple[str, list[str]]:
+    """Python named-group regex -> (SQL-quoted anonymous regex, group order).
+    The patterns are RE2-compatible (no lookaround/backrefs — tested)."""
+    names = [m.group(1) for m in re.finditer(r"\(\?P<([a-z]+)>", pattern)]
+    anon = re.sub(r"\(\?P<[a-z]+>", "(", pattern)
+    return anon.replace("'", "''"), names
+
+
+def _raw_cte() -> str:
+    """UNION ALL of one SELECT per rule-emit, mirroring
+    rules.extract_triples_batch exactly (same source of truth)."""
+    parts = []
+    for rule in RULES:
+        pat, groups = _sql_pattern(rule.pattern)
+        roles = ", ".join(f"'{r}'" for r in rule.roles)
+        glist = ", ".join(f"'{g}'" for g in groups)
+        turn_node = "conv_id || '#' || CAST(turn_idx AS VARCHAR)"
+        for sg, pred, og in rule.emits:
+            subj = turn_node if sg == "@turn" else f"trim(g.{sg})"
+            obj = turn_node if og == "@turn" else f"trim(g.{og})"
+            sk = "node" if sg == "@turn" else "surface"
+            ok = "node" if og == "@turn" else "surface"
+            parts.append(
+                f"""  SELECT conv_id, turn_idx, {subj} AS subj_raw, '{pred}' AS pred,
+         {obj} AS obj_raw, '{rule.rule_id}' AS rule_id,
+         '{sk}' AS subj_kind, '{ok}' AS obj_kind
+  FROM (SELECT conv_id, turn_idx, regexp_extract(text_norm, '{pat}', [{glist}]) AS g
+        FROM t WHERE role IN ({roles}) AND regexp_matches(text_norm, '{pat}'))"""
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+_SHINGLES = (
+    "CASE WHEN length({s}) < 3 THEN [{s}] "
+    "ELSE list_distinct([substring({s}, i, 3) "
+    "FOR i IN generate_series(1, length({s}) - 2)]) END"
+)
+
+
+def _kg_sql(select: str) -> str:
+    """Wrap a final SELECT with the full pipeline CTE chain."""
+    norm_text = _NORM.format(col="text")
+    norm_alias = _NORM.format(col="alias")
+    sh = _SHINGLES.format(s="surface")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT conv_id, turn_idx, role, {norm_text} AS text_norm
+  FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND text IS NOT NULL),
+raw AS (
+{_raw_cte()}),
+al0 AS (
+  SELECT entity_id, canonical, etype, prior, {norm_alias} AS alias_norm
+  FROM (SELECT entity_id, canonical, etype, prior, unnest(aliases) AS alias
+        FROM read_parquet('{CORPUS_DIR}/entity_dict.parquet'))),
+al AS (
+  SELECT alias_norm, entity_id, canonical, etype, prior FROM (
+    SELECT *, row_number() OVER (PARTITION BY alias_norm ORDER BY entity_id) AS rn
+    FROM al0) WHERE rn = 1),
+linked AS (
+  SELECT r.*, sa.entity_id AS subj_link, oa.entity_id AS obj_link
+  FROM raw r
+  LEFT JOIN al sa ON r.subj_kind = 'surface' AND sa.alias_norm = r.subj_raw
+  LEFT JOIN al oa ON r.obj_kind = 'surface' AND oa.alias_norm = r.obj_raw),
+unl AS (
+  SELECT DISTINCT surface FROM (
+    SELECT subj_raw AS surface FROM linked
+    WHERE subj_kind = 'surface' AND subj_link IS NULL
+    UNION ALL
+    SELECT obj_raw FROM linked
+    WHERE obj_kind = 'surface' AND obj_link IS NULL)),
+sh AS (SELECT surface, {sh} AS s FROM unl),
+edges AS (
+  SELECT x.surface AS a, y.surface AS b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM sh x JOIN sh y ON x.surface < y.surface
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.5),
+sym AS (SELECT a AS s, b AS d FROM edges UNION ALL SELECT b, a FROM edges),
+walk AS (
+  SELECT DISTINCT s AS node, s AS comp FROM sym
+  UNION
+  SELECT e.d, w.comp FROM walk w JOIN sym e ON w.node = e.s),
+cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+final AS (
+  SELECT COALESCE(l.subj_link, CASE WHEN l.subj_kind = 'node' THEN l.subj_raw END,
+                  sc.component, l.subj_raw) AS subj,
+         l.pred,
+         COALESCE(l.obj_link, CASE WHEN l.obj_kind = 'node' THEN l.obj_raw END,
+                  oc.component, l.obj_raw) AS obj,
+         l.conv_id, l.turn_idx, l.rule_id
+  FROM linked l
+  LEFT JOIN cc sc
+    ON l.subj_raw = sc.node AND l.subj_kind = 'surface' AND l.subj_link IS NULL
+  LEFT JOIN cc oc
+    ON l.obj_raw = oc.node AND l.obj_kind = 'surface' AND l.obj_link IS NULL),
+trip AS (
+  SELECT DISTINCT subj, pred, obj, conv_id, turn_idx, rule_id FROM final),
+mat AS (
+  SELECT subj, pred, obj, conv_id, turn_idx, rule_id,
+         sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
+                          CAST(turn_idx AS VARCHAR), rule_id)) AS lineage_id,
+         CAST(CAST('0x' || substr(sha256(subj), 1, 15) AS BIGINT) % 128
+              AS INTEGER) AS part_key
+  FROM trip)
+{select}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sources / filters over the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_transcripts",
+    sql=f"""SELECT conv_id, turn_idx, role, text, tool,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+            FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')
+            WHERE text IS NOT NULL""",
+)
 def scan_transcripts(spark, sf):
+    # ts surfaces as a formatted wall-clock string: TIMESTAMP_NTZ formatting
+    # is timezone-independent in both engines, so the check cannot drift
+    # with the harness session's timezone setting
     d = corpus_dfs(spark, sf)
     return (
         d["transcripts"]
         .dropDuplicates(["conv_id", "turn_idx"])
         .filter(F.col("text").isNotNull())
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
     )
 
 
-@register("scan_dict", sql=None)
+@register(
+    "scan_dict",
+    sql=f"""SELECT entity_id, canonical, etype, prior,
+                   len(aliases) AS n_aliases,
+                   array_to_string(aliases, '|') AS aliases_str
+            FROM read_parquet('{CORPUS_DIR}/entity_dict.parquet')""",
+)
 def scan_dict(spark, sf):
-    return corpus_dfs(spark, sf)["entity_dict"]
+    # array column surfaced as (count, joined string): list order is file
+    # order in both engines, so the join is deterministic
+    return corpus_dfs(spark, sf)["entity_dict"].select(
+        "entity_id", "canonical", "etype", "prior",
+        F.size("aliases").alias("n_aliases"),
+        F.array_join("aliases", "|").alias("aliases_str"),
+    )
 
 
-@register("filter_role", sql=None)
+@register(
+    "filter_role",
+    sql=f"""SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')
+            WHERE role IN ('user', 'assistant')""",
+)
 def filter_role(spark, sf):
     d = corpus_dfs(spark, sf)
-    return d["transcripts"].filter(F.col("role").isin("user", "assistant"))
+    return d["transcripts"].filter(F.col("role").isin("user", "assistant")).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
 
 
-@register("kg_turn_order", sql=None)
+@register(
+    "kg_turn_order",
+    sql=f"""SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx, ts) AS turn_rank
+            FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')""",
+)
 def kg_turn_order(spark, sf):
     d = corpus_dfs(spark, sf)
     return extract.with_turn_order(d["transcripts"]).select(
@@ -64,8 +282,13 @@ def kg_turn_order(spark, sf):
     )
 
 
-@register("udf_mention_detect", sql=None)
-def udf_mention_detect(spark, sf):
+# ---------------------------------------------------------------------------
+# extraction / linking / canonicalization (the SQL twin carries the oracle)
+# ---------------------------------------------------------------------------
+
+
+@register("udf_mention_detect", sql=None)  # finditer longest-first overlap
+def udf_mention_detect(spark, sf):       # semantics not RE2-expressible
     d = corpus_dfs(spark, sf)
     t = d["transcripts"].withColumn(
         "text_norm", extract.normalize_text_col(F.col("text"))
@@ -77,13 +300,42 @@ def udf_mention_detect(spark, sf):
     )
 
 
-@register("udf_triple_extract", sql=None)
+@register(
+    "udf_triple_extract",
+    sql=_kg_sql(
+        """SELECT conv_id, turn_idx, subj_raw, pred, obj_raw, rule_id,
+                  subj_kind, obj_kind FROM raw"""
+    ),
+)
 def udf_triple_extract(spark, sf):
     d = corpus_dfs(spark, sf)
     return extract.stage_extract(d["transcripts"], d["entity_dict"])
 
 
-@register("link_score", sql=None)
+@register(
+    "link_score",
+    sql=_kg_sql(
+        """SELECT surface, entity_id, canonical, etype, link_score,
+                  CAST(rank AS INTEGER) AS rank FROM (
+             SELECT u.surface, a.entity_id, a.canonical, a.etype,
+                    (CASE WHEN u.surface = a.alias_norm THEN 1.0
+                          ELSE (1.0 - CAST(levenshtein(u.surface, a.alias_norm) AS DOUBLE)
+                                / CAST(greatest(length(u.surface), length(a.alias_norm)) AS DOUBLE))
+                               * 0.9 END
+                     + a.prior * 0.01) AS link_score,
+                    row_number() OVER (
+                      PARTITION BY u.surface
+                      ORDER BY (CASE WHEN u.surface = a.alias_norm THEN 1.0
+                                     ELSE (1.0 - CAST(levenshtein(u.surface, a.alias_norm) AS DOUBLE)
+                                           / CAST(greatest(length(u.surface), length(a.alias_norm)) AS DOUBLE))
+                                          * 0.9 END
+                                + a.prior * 0.01) DESC, a.entity_id) AS rank
+             FROM (SELECT DISTINCT subj_raw AS surface FROM raw
+                   WHERE subj_kind = 'surface') u
+             JOIN al a ON split_part(u.surface, ' ', 1) = split_part(a.alias_norm, ' ', 1)
+           ) WHERE rank <= 1"""
+    ),
+)
 def link_score(spark, sf):
     d = corpus_dfs(spark, sf)
     raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
@@ -95,25 +347,39 @@ def link_score(spark, sf):
     return link.score_candidates(surfaces, d["entity_dict"], topk=1)
 
 
-@register("lsh_block", sql=None)
+@register("lsh_block", sql=_kg_sql("SELECT a, b, jaccard FROM edges"))
 def lsh_block(spark, sf):
+    """MinHash-LSH candidate pairs over unlinked surfaces. The oracle is the
+    ALL-PAIRS Jaccard edge set — equality holds because LSH recall is total
+    on this corpus (P/R gate); the jaccard values themselves are exact
+    integer-ratio arithmetic, identical in both engines."""
     d = corpus_dfs(spark, sf)
     raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
     linked = link.stage_link(raw, d["entity_dict"])
     unlinked = (
         linked.filter((F.col("subj_kind") == "surface") & F.col("subj_link").isNull())
         .select(F.col("subj_raw").alias("surface"))
+        .unionByName(
+            linked.filter(
+                (F.col("obj_kind") == "surface") & F.col("obj_link").isNull()
+            ).select(F.col("obj_raw").alias("surface"))
+        )
         .distinct()
     )
     return canon.candidate_pairs(unlinked)
 
 
-@register("cc_iterate", sql=None)
+@register("cc_iterate", sql=_kg_sql("SELECT node, component FROM cc"))
 def cc_iterate(spark, sf):
-    return canon.connected_components(lsh_block(spark, sf))
+    return canon.connected_components(lsh_block(spark, sf).select("a", "b"))
 
 
-@register("canon_rewrite", sql=None)
+@register(
+    "canon_rewrite",
+    sql=_kg_sql(
+        "SELECT subj, pred, obj, conv_id, turn_idx, rule_id FROM final"
+    ),
+)
 def canon_rewrite(spark, sf):
     d = corpus_dfs(spark, sf)
     raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
@@ -122,17 +388,7 @@ def canon_rewrite(spark, sf):
     return out
 
 
-@register("triple_materialize", sql=None)
-def triple_materialize(spark, sf):
-    """Full Stage A..E including dedup + lineage + partition keys (reads
-    the shared checkpointed run's final table)."""
-    import os
-
-    wd = _ckpt_run(spark, sf)
-    return io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
-
-
-@register("agg_minhash_sig", sql=None)
+@register("agg_minhash_sig", sql=None)  # xxhash64 not expressible in DuckDB
 def agg_minhash_sig(spark, sf):
     d = corpus_dfs(spark, sf)
     raw = extract.stage_extract(d["transcripts"], d["entity_dict"])
@@ -144,24 +400,67 @@ def agg_minhash_sig(spark, sf):
     return canon.minhash_signatures(surfaces)
 
 
-_CKPT_RUNS: dict[str, str] = {}
+# ---------------------------------------------------------------------------
+# materialization + sinks (shared checkpointed run)
+# ---------------------------------------------------------------------------
 
 
-def _ckpt_run(spark: SparkSession, sf: str) -> str:
-    """One shared checkpointed Stage A..E run per (session, sf): several
-    registry entries expose different facets of the same pipeline artifacts
-    (metrics, sink layout, resume) — run it once, reuse the work_dir."""
-    key = f"{id(spark)}|{_convs_for(sf)}"
-    if key not in _CKPT_RUNS:
-        d = corpus_dfs(spark, sf)
-        wd = tempfile.mkdtemp(prefix="kgm_")
-        cfg = pipeline.PipelineConfig(work_dir=wd, input_fingerprint=f"kgm|{sf}")
-        pipeline.Pipeline(cfg).run(spark, d["transcripts"], d["entity_dict"])
-        _CKPT_RUNS[key] = wd
-    return _CKPT_RUNS[key]
+@register("triple_materialize", sql=_kg_sql("SELECT * FROM mat"))
+def triple_materialize(spark, sf):
+    """Full Stage A..E including dedup + lineage + partition keys (reads
+    the shared checkpointed run's final table). The oracle re-derives the
+    whole table in SQL, INCLUDING the sha256 lineage ids and the sink
+    part_key buckets (pipeline.part_key_col is sha2-based precisely so the
+    physical layout is verifiable outside the JVM)."""
+    import os
+
+    wd = _ckpt_run(spark, sf)
+    return io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
 
 
-@register("sink_metrics", sql=None)
+@register(
+    "kg_triples_per_entity",
+    sql=_kg_sql(
+        """SELECT subj, COUNT(*) AS n_triples,
+                  COUNT(DISTINCT pred) AS n_preds
+           FROM trip GROUP BY subj"""
+    ),
+)
+def kg_triples_per_entity(spark, sf):
+    """The reference's summarize stage (stats per composer) re-targeted:
+    triples per subject entity."""
+    out = triple_materialize(spark, sf)
+    return out.groupBy("subj").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+
+
+@register(
+    "sink_triples",
+    sql=_kg_sql(
+        """SELECT part_key, COUNT(*) AS n_triples,
+                  COUNT(DISTINCT subj) AS n_subjects
+           FROM mat GROUP BY part_key"""
+    ),
+)
+def sink_triples(spark, sf):
+    """The partitioned triple sink itself (SURVEY.md §2(a)): read the
+    E_triples table back from the Iceberg-shim sink and surface its physical
+    layout — one row per part_key with triple count and distinct subjects.
+    At 100 TB this is `spark.read.table("cat.db.triples")` over bucketed
+    Iceberg partitions; readers prune on part_key."""
+    wd = _ckpt_run(spark, sf)
+    import os
+
+    t = io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
+    return t.groupBy("part_key").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+
+
+@register("sink_metrics", sql=None)  # manifest/runtime state -> rows-only
 def sink_metrics(spark, sf):
     """Per-stage / per-partition metrics surface: run the pipeline, return
     the manifest-derived metrics as a DataFrame (rows, partition counts,
@@ -180,24 +479,7 @@ def sink_metrics(spark, sf):
     )
 
 
-@register("sink_triples", sql=None)
-def sink_triples(spark, sf):
-    """The partitioned triple sink itself (SURVEY.md §2(a)): read the
-    E_triples table back from the Iceberg-shim sink and surface its physical
-    layout — one row per part_key with triple count and distinct subjects.
-    At 100 TB this is `spark.read.table("cat.db.triples")` over bucketed
-    Iceberg partitions; readers prune on part_key."""
-    wd = _ckpt_run(spark, sf)
-    import os
-
-    t = io_tables.read_stage(spark, os.path.join(wd, "E_triples"))
-    return t.groupBy("part_key").agg(
-        F.count("*").alias("n_triples"),
-        F.countDistinct("subj").alias("n_subjects"),
-    )
-
-
-@register("sink_checkpoint", sql=None)
+@register("sink_checkpoint", sql=None)  # resume/runtime state -> rows-only
 def sink_checkpoint(spark, sf):
     """Exact-resume evidence (BASELINE.json: "resumable from checkpoint"):
     re-run the pipeline with resume=True over the completed work_dir; every
@@ -215,13 +497,29 @@ def sink_checkpoint(spark, sf):
     return spark.createDataFrame(rows, "stage string, skipped boolean, rows long")
 
 
-@register("join_theta_selfjoin_lsh", sql=None)
+# ---------------------------------------------------------------------------
+# theta self-join on an independent surface (TPC-H part names)
+# ---------------------------------------------------------------------------
+
+_THETA_SQL = f"""
+WITH names AS (SELECT DISTINCT lower(p_name) AS surface FROM part),
+sh AS (SELECT surface, {_SHINGLES.format(s="surface")} AS s FROM names)
+SELECT a, b, ROUND(jaccard, 4) AS jaccard FROM (
+  SELECT x.surface AS a, y.surface AS b,
+         CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+  FROM sh x JOIN sh y ON x.surface < y.surface)
+WHERE jaccard >= 0.5
+"""
+
+
+@register("join_theta_selfjoin_lsh", sql=_THETA_SQL)
 def join_theta_selfjoin_lsh(spark, sf):
     """Bounded theta self-join (SURVEY.md §2(c)): similar-name pairs from
     the TPC-H part table. Candidate pairs come ONLY from an equi-join on
     MinHash-LSH band keys (never a nested loop); survivors verified by
-    exact char-shingle Jaccard. Same kernel the KG canon stage uses, on an
-    independent input surface."""
+    exact char-shingle Jaccard. The oracle is the all-pairs form (LSH
+    recall is total on this table — pinned by the driver hash check)."""
     from .qreg import load
 
     names = (
@@ -231,18 +529,4 @@ def join_theta_selfjoin_lsh(spark, sf):
     )
     return canon.candidate_pairs(names).withColumn(
         "jaccard", F.round("jaccard", 4)
-    )
-
-
-@register("kg_triples_per_entity", sql=None)
-def kg_triples_per_entity(spark, sf):
-    """The reference's summarize stage (stats per composer) re-targeted:
-    triples per subject entity, top-heavy ordering."""
-    out = triple_materialize(spark, sf)
-    return (
-        out.groupBy("subj")
-        .agg(
-            F.count("*").alias("n_triples"),
-            F.countDistinct("pred").alias("n_preds"),
-        )
     )

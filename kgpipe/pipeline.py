@@ -31,12 +31,26 @@ from pyspark.sql import functions as F
 from . import canon, extract, io_tables, link
 
 SEP = "\x1f"
-# bucket count for part_key = pmod(xxhash64(subj), N). Also the parallelism
+# bucket count for part_key = sha2(subj)-derived bucket. Also the parallelism
 # ceiling of the final dedup+write stage — keep >= 2x the largest cluster's
 # task slots (it's a fixed property of the sink layout, identical at every
 # cluster size, so cross-size runs stay comparable; at 100 TB this would be
 # O(10^3-10^4) Iceberg buckets)
 N_TRIPLE_PARTS = 128
+
+
+def part_key_col(subj: str = "subj", parts: int = N_TRIPLE_PARTS) -> F.Column:
+    """Deterministic sink bucket of a subject: first 60 bits of sha2-256 as
+    a bigint, mod the bucket count. sha2 instead of xxhash64 so the bucket
+    function is reproducible outside the JVM (DuckDB:
+    CAST('0x' || substr(sha256(subj), 1, 15) AS BIGINT) % parts) — the
+    driver's SQL oracle can then verify the physical sink layout, not just
+    the logical triple set. One extra hash per triple on an already
+    shuffle-bound stage; still whole-stage-codegen."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(F.col(subj), 256), 1, 15), 16, 10).cast("bigint"),
+        F.lit(parts),
+    ).cast("int")
 
 
 @dataclass
@@ -240,8 +254,7 @@ class Pipeline:
             # small scale; at cluster scale nparts >= triple_parts anyway)
             n_tasks = min(self.cfg.triple_parts, nparts)
             with_key = canoned.withColumn(
-                "part_key",
-                F.pmod(F.xxhash64("subj"), F.lit(self.cfg.triple_parts)).cast("int"),
+                "part_key", part_key_col("subj", self.cfg.triple_parts)
             ).repartition(n_tasks, "part_key")
             # part_key leads the window keys so hash(part_key) satisfies the
             # window's clustering requirement — no second shuffle (part_key

@@ -318,3 +318,63 @@ def scale_for_turns(target_turns: int) -> int:
     """n_convs that yields roughly target_turns (measured mean ≈ 70/conv
     under zipf(1.2) clipped to [2,200])."""
     return max(8, int(target_turns / 70))
+
+
+def stage_corpus(n_convs: int, seed: int = SEED) -> str:
+    """Materialize the deterministic corpus as parquet at a content-keyed
+    path shared by every consumer in this environment.
+
+    Written with pyarrow (no Spark session needed) so it can run at import
+    time: the SQL-oracle strings in kgqueries.py embed this path and DuckDB
+    reads the SAME files the Spark entries scan — making the KG operators
+    value-checkable by the driver harness, not just rows-counted. Atomic
+    via write-to-tmp + rename; the fixed seed makes the content identical
+    across processes, so a lost rename race is harmless.
+    """
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.gettempdir(), f"kgpipe_corpus_{seed}_{n_convs}")
+    t_path = os.path.join(out, "transcripts.parquet")
+    e_path = os.path.join(out, "entity_dict.parquet")
+    if os.path.exists(t_path) and os.path.exists(e_path):
+        return out
+    c = generate(n_convs=n_convs, seed=seed)
+    t_schema = pa.schema(
+        [
+            pa.field("conv_id", pa.string(), False),
+            pa.field("turn_idx", pa.int32(), False),
+            pa.field("role", pa.string(), False),
+            pa.field("text", pa.string(), False),
+            pa.field("tool", pa.string(), True),
+            # micros: what Spark TIMESTAMP_NTZ and DuckDB TIMESTAMP both
+            # read natively (pandas default ns would round-trip as int64)
+            pa.field("ts", pa.timestamp("us"), False),
+        ]
+    )
+    e_schema = pa.schema(
+        [
+            pa.field("entity_id", pa.string(), False),
+            pa.field("canonical", pa.string(), False),
+            pa.field("aliases", pa.list_(pa.string()), False),
+            pa.field("etype", pa.string(), False),
+            pa.field("prior", pa.float64(), False),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="kgpipe_corpus_tmp_")
+    pq.write_table(
+        pa.Table.from_pandas(c.transcripts, preserve_index=False).cast(t_schema),
+        os.path.join(tmp, "transcripts.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(c.entity_dict, preserve_index=False).cast(e_schema),
+        os.path.join(tmp, "entity_dict.parquet"),
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        pass  # lost the race; identical content already present
+    return out
