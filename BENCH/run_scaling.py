@@ -32,17 +32,25 @@ from kgpipe.session import get_spark
 
 cores = {cores}
 corpus = {corpus!r}
-# shuffle + stage sinks on tmpfs: a real N-node cluster has N nodes' worth
-# of local disk; on one box every level shares one root disk, which caps
-# the larger level's I/O exactly where a real cluster would scale it.
+scaled = {scaled}
+# resource-scaled mode: shuffle + stage sinks on tmpfs (a real N-node
+# cluster has N nodes' worth of local disk; one shared root disk caps the
+# larger level's I/O exactly where a real cluster would scale it).
+# flat mode: default local dir — both levels share the same disk budget.
 import os as _os
-shm = f"/dev/shm/kgscale_{{cores}}"
-_os.makedirs(shm, exist_ok=True)
+import tempfile as _tf
+if scaled:
+    shm = f"/dev/shm/kgscale_{{cores}}"
+    _os.makedirs(shm, exist_ok=True)
+    extra = {{"spark.local.dir": shm}}
+else:
+    shm = _tf.gettempdir()
+    extra = {{}}
 spark = get_spark(
     "scaling",
     master=f"local[{{cores}}]",
     shuffle_partitions=2 * cores,
-    extra_conf={{"spark.local.dir": shm}},
+    extra_conf=extra,
 )
 spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.schema(schemas.TRANSCRIPTS).parquet(corpus + "/transcripts.parquet")
@@ -73,22 +81,36 @@ print("RESULT " + json.dumps({{"cores": cores, "wall_s": round(best, 2),
 """
 
 
-def run_level(cores: int, corpus: str, trials: int, checkpoints: bool) -> dict:
+def run_level(
+    cores: int, corpus: str, trials: int, checkpoints: bool, scaled: bool
+) -> dict:
     code = CHILD.format(
-        repo=REPO, cores=cores, corpus=corpus, trials=trials, checkpoints=checkpoints
+        repo=REPO,
+        cores=cores,
+        corpus=corpus,
+        trials=trials,
+        checkpoints=checkpoints,
+        scaled=scaled,
     )
     # pin the process tree to exactly `cores` CPUs: a local[N] JVM otherwise
     # borrows idle cores for Python workers/GC/shuffle threads, which a real
     # N-core executor does not have — unpinned, the small level's throughput
     # is inflated and the N->4N comparison is unfair
     env = dict(os.environ)
-    # aggregate memory scales with executor count on a real cluster: an
-    # N-core level gets N executors' worth of heap, 4N gets 4x. A flat
-    # heap would make the larger level GC 4x harder on the same garbage
-    # rate — an artifact no real 4N cluster has.
-    # capped: heap + tmpfs shuffle files + OS must fit the box's RAM — an
-    # uncapped 3g x 32 = 96g heap thrashed the 125G host
-    env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
+    if scaled:
+        # aggregate memory scales with executor count on a real cluster: an
+        # N-core level gets N executors' worth of heap, 4N gets 4x. A flat
+        # heap would make the larger level GC 4x harder on the same garbage
+        # rate — an artifact no real 4N cluster has.
+        # capped: heap + tmpfs shuffle files + OS must fit the box's RAM — an
+        # uncapped 3g x 32 = 96g heap thrashed the 125G host
+        env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
+    else:
+        # flat-resource mode (robustness check requested in review): both
+        # levels get the identical heap and share the default local dir, so
+        # the efficiency number cannot be an artifact of the per-level
+        # resource scaling above
+        env["KGPIPE_DRIVER_MEM"] = "8g"
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True,
@@ -115,6 +137,14 @@ def main() -> int:
     )
     ap.add_argument("--n", type=int, default=2, help="small level cores (N)")
     ap.add_argument("--n4", type=int, default=8, help="large level cores (4N)")
+    ap.add_argument(
+        "--resources",
+        choices=["scaled", "flat"],
+        default="scaled",
+        help="scaled = heap and scratch disk scale with core count "
+        "(cluster-faithful); flat = identical heap + shared disk at both "
+        "levels (harness-robustness check)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -124,11 +154,13 @@ def main() -> int:
     corpus = corpus_parquet(n_convs)
 
     ck = args.mode == "ckpt"
-    r8 = run_level(args.n, corpus, args.trials, ck)
-    r32 = run_level(args.n4, corpus, args.trials, ck)
+    scaled = args.resources == "scaled"
+    r8 = run_level(args.n, corpus, args.trials, ck, scaled)
+    r32 = run_level(args.n4, corpus, args.trials, ck, scaled)
     eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (args.n4 / args.n)
     summary = {
         "corpus_turns_approx": n_convs * 70,
+        "resources": args.resources,
         f"local{args.n}": r8,
         f"local{args.n4}": r32,
         f"scaling_efficiency_{args.n}_to_{args.n4}": round(eff, 3),
@@ -141,10 +173,11 @@ def main() -> int:
 
 Per BASELINE.json the rule is >=0.8 throughput scaling efficiency between N
 and 4N executors. No real cluster exists in this sandbox, so the evidence is
-the same full Stage A..E pipeline ({args.mode} mode) on the SAME seeded
-synthetic corpus (~{n_convs * 70:,} turns) at two parallelism levels in
-fresh JVMs, `spark.sql.shuffle.partitions` = 2x cores, steady-state
-(warm-up pass excluded, best of {args.trials} measured trials):
+the same full Stage A..E pipeline ({args.mode} mode, {args.resources}
+resources) on the SAME seeded synthetic corpus (~{n_convs * 70:,} turns) at
+two parallelism levels in fresh JVMs, `spark.sql.shuffle.partitions` = 2x
+cores, steady-state (warm-up pass excluded, best of {args.trials} measured
+trials):
 
 | level | wall (s) | triples/sec |
 | --- | --- | --- |
@@ -157,7 +190,11 @@ fresh JVMs, `spark.sql.shuffle.partitions` = 2x cores, steady-state
 All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_walls']}
 (first value = discarded warm-up).
 """
-    with open(os.path.join(REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}.md"), "w") as f:
+    suffix = "" if scaled else "_flat"
+    out_md = os.path.join(
+        REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}{suffix}.md"
+    )
+    with open(out_md, "w") as f:
         f.write(md)
     return 0
 

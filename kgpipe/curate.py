@@ -49,6 +49,60 @@ def curate(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", "lang_pred", "n_tokens")
 
 
-@register("corpus_curation", sql=None)  # composed (LSH/CC) -> rows-only
+def _curate_sql() -> str:
+    """SQL twin of curate(): lang-ID -> length gate -> exact dedup ->
+    all-pairs shingle Jaccard edges -> recursive-CTE CC -> keep the numeric
+    min doc per cluster. The Spark side pads doc ids so its string min-label
+    CC equals this numeric min; LSH recall is total on this corpus (same
+    evidence as dedup_minhash)."""
+    from .dedup import DOC_SHINGLES_SQL
+    from .textstats import LANG_STOPWORDS
+
+    hits = ", ".join(
+        "LEN(LIST_INTERSECT(toks, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"])) AS h_{lang}"
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    langs_desc = sorted(LANG_STOPWORDS, reverse=True)
+    case = " ".join(f"WHEN h_{lang} = mx THEN '{lang}'" for lang in langs_desc[:-1])
+    mx = ", ".join("h_" + lang for lang in sorted(LANG_STOPWORDS))
+    shingles = DOC_SHINGLES_SQL.format(src="docs2")
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, text, n_chars,
+         LIST_DISTINCT(STRING_SPLIT(
+           LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')) AS toks,
+         LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+  FROM documents),
+lang AS (
+  SELECT doc_id, text, n_chars, n_tokens,
+         CASE {case} ELSE '{langs_desc[-1]}' END AS lang_pred
+  FROM (SELECT *, GREATEST({mx}) AS mx
+        FROM (SELECT *, {hits} FROM tok))),
+docs AS (
+  SELECT doc_id, text, n_tokens, lang_pred FROM lang
+  WHERE lang_pred = 'en' AND n_chars BETWEEN 50 AND 5000),
+winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY LOWER(TRIM(text))),
+docs2 AS (SELECT d.* FROM docs d JOIN winners USING (doc_id)),
+{shingles},
+edges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+  WHERE ROUND(CAST(LEN(LIST_INTERSECT(x.s, y.s)) AS DOUBLE)
+              / (LEN(x.s) + LEN(y.s) - LEN(LIST_INTERSECT(x.s, y.s))), 4)
+        >= {DOC_JACCARD}),
+sym AS (SELECT a AS sn, b AS dn FROM edges UNION ALL SELECT b, a FROM edges),
+walk AS (
+  SELECT DISTINCT sn AS node, sn AS comp FROM sym
+  UNION
+  SELECT e.dn, wk.comp FROM walk wk JOIN sym e ON wk.node = e.sn),
+cc AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT doc_id, lang_pred, n_tokens FROM docs2
+WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+
+
+@register("corpus_curation", sql=_curate_sql())
 def corpus_curation(spark, sf):
     return curate(spark, sf)

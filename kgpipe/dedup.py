@@ -160,8 +160,38 @@ def dedup_exact(spark, sf):
     )
 
 
-@register("dedup_minhash", sql=None)  # xxhash64-based -> rows-only
+# shared SQL fragment: distinct word-3-gram shingle sets per document,
+# tokenization identical to tokens_col (collapse \s+ -> split on ' ')
+DOC_SHINGLES_SQL = """
+w AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS wt
+  FROM {src}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN LEN(wt) < 3 THEN [ARRAY_TO_STRING(wt, ' ')]
+              ELSE LIST_DISTINCT([ARRAY_TO_STRING(LIST_SLICE(wt, i, i + 2), ' ')
+                                  FOR i IN GENERATE_SERIES(1, LEN(wt) - 2)]) END AS s
+  FROM w)"""
+
+_MINHASH_SQL = f"""
+WITH {DOC_SHINGLES_SQL.format(src="documents")}
+SELECT a, b, jaccard FROM (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         ROUND(CAST(LEN(LIST_INTERSECT(x.s, y.s)) AS DOUBLE)
+               / (LEN(x.s) + LEN(y.s) - LEN(LIST_INTERSECT(x.s, y.s))), 4) AS jaccard
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+WHERE jaccard >= {DOC_JACCARD}
+"""
+
+
+@register("dedup_minhash", sql=_MINHASH_SQL)
 def dedup_minhash(spark, sf):
+    """MinHash-LSH near-dup pairs at the clustering threshold. The oracle is
+    the ALL-PAIRS word-shingle Jaccard form: LSH recall is total on this
+    corpus (verified empirically at sf0.001 and sf0.01 — near-dup pairs sit
+    well above the 16x2-band recall cliff), and the jaccard values are exact
+    integer-ratio arithmetic identical in both engines."""
     return doc_minhash_pairs(load(spark, sf, "documents")).filter(
         F.col("jaccard") >= DOC_JACCARD
     )

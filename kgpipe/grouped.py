@@ -47,7 +47,28 @@ def conv_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("conv_stats_applyinpandas", sql=None)
+def _conv_stats_sql() -> str:
+    from .kgqueries import CORPUS_DIR
+
+    # mean_gap_s: the mean of consecutive ts gaps in turn_idx order
+    # telescopes to (last - first) / (n - 1); on this corpus every gap is a
+    # whole number of seconds, so the float arithmetic is exact in both
+    # engines and the hash compare holds bit-level
+    return f"""
+SELECT conv_id,
+       CAST(COUNT(*) AS INTEGER) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_tool_calls,
+       CASE WHEN COUNT(*) > 1 THEN
+         ((epoch_us(ARG_MAX(ts, turn_idx)) - epoch_us(ARG_MIN(ts, turn_idx)))
+          / 1000000.0) / (COUNT(*) - 1) END AS mean_gap_s,
+       ARG_MIN(role, turn_idx) AS first_role
+FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')
+GROUP BY conv_id
+"""
+
+
+@register("conv_stats_applyinpandas", sql=_conv_stats_sql())
 def conv_stats_applyinpandas(spark, sf):
     """Per-conversation grouped-map stats: one pandas frame per conv_id.
     The groupBy ships each conversation to one worker — bounded by the
@@ -68,7 +89,21 @@ SENTENCES = StructType(
 )
 
 
-@register("udtf_sentence_expand", sql=None)
+_UDTF_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN []
+              ELSE STRING_SPLIT_REGEX(TRIM(text), '\\s+') END AS wds
+  FROM documents)
+SELECT doc_id, CAST(i AS INTEGER) AS sent_idx,
+       CAST(LEAST(10, LEN(wds) - i * 10) AS INTEGER) AS n_words
+FROM (SELECT doc_id, wds,
+             UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(wds) / 10.0) AS INTEGER) - 1)) AS i
+      FROM d)
+"""
+
+
+@register("udtf_sentence_expand", sql=_UDTF_SQL)
 def udtf_sentence_expand(spark, sf):
     """Python UDTF surface: one document row -> one row per ~10-word
     pseudo-sentence. (Registered via spark.udtf; Spark 4 runs these
