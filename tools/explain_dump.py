@@ -64,6 +64,24 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-batch BLAS top-k in Python, global merge via window — the "
         "shuffle carries batches*queries*k rows, not the corpus",
     ),
+    # markers prefixed '!' must be ABSENT from the executed plan
+    "join_range_asof": (
+        ["RangeFrame", "!Join"],
+        "interval count as a RANGE window over unix_micros(ts): one shuffle "
+        "+ one sort, ZERO joins — the r1 self-join generated "
+        "O(per-user-rows^2) candidates before the interval filter",
+    ),
+    "dedup_embedding_cosine": (
+        ["FlatMapGroupsInPandas", "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+        "blocked-BLAS exhaustive similarity self-join: triangle block-pair "
+        "groups + one matmul per group — no nested-loop join anywhere",
+    ),
+    "ann_lsh_topk": (
+        ["MapInPandas", "BroadcastHashJoin", "!BroadcastNestedLoopJoin"],
+        "multi-table sign-LSH: bucket keys from one Arrow batch pass, "
+        "candidates via (tbl, bucket) equi-join — never a corpus scan per "
+        "query",
+    ),
 }
 
 
@@ -93,10 +111,15 @@ def main() -> int:
         print(f"\n## {name}\n")
         print(f"_{why}_\n")
         for m in markers:
-            ok = m in plan
+            if m.startswith("!"):
+                ok = m[1:] not in plan
+                label = "absent" if ok else "**PRESENT (must be absent)**"
+            else:
+                ok = m in plan
+                label = "present" if ok else "**MISSING**"
             if not ok:
                 failures.append((name, m))
-            print(f"- `{m}`: {'present' if ok else '**MISSING**'}")
+            print(f"- `{m}`: {label}")
         print("\n```")
         # first 60 lines of the plan keep the file reviewable
         print("\n".join(plan.splitlines()[:60]))
