@@ -116,6 +116,35 @@ def candidate_pairs(surfaces: DataFrame) -> DataFrame:
 # 2 shuffles. Above it, the iterative-join path scales arbitrarily.
 DRIVER_CC_MAX_EDGES = 200_000
 
+# Below this many distinct unlinked surfaces, exact all-pairs Jaccard on the
+# driver beats the distributed LSH chain: the MinHash/banding/verify DAG is
+# ~10 shuffle stages whose scheduling overhead (~3-4 s measured) dwarfs the
+# actual work when the surface set is tiny — the common case, since unlinked
+# surfaces are the dictionary MISSES, not the corpus. 1000 surfaces =
+# ~500k pairs of set-intersections, well under a second of driver CPU.
+# Above it, candidate_pairs (LSH blocking, equi-joins only) scales
+# arbitrarily. Same hybrid-design precedent as DRIVER_CC_MAX_EDGES; the
+# all-pairs form is exactly the pandas/SQL oracle semantics, so on corpora
+# where LSH recall is total (tested) the two paths emit identical edges.
+DRIVER_ALLPAIRS_MAX_SURFACES = 1_000
+
+
+def _driver_allpairs_edges(surfaces: DataFrame) -> DataFrame:
+    """Small-set fast path: exact char-shingle Jaccard over all pairs,
+    computed on the driver with the shared rule-set functions."""
+    from .rules import JACCARD_THRESHOLD, char_shingles, jaccard
+
+    names = sorted(r["surface"] for r in surfaces.collect())
+    sh = {s: char_shingles(s) for s in names}
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            j = jaccard(sh[a], sh[b])
+            if j >= JACCARD_THRESHOLD:
+                rows.append((a, b, float(j)))
+    spark = surfaces.sparkSession
+    return spark.createDataFrame(rows, "a string, b string, jaccard double")
+
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
     """Small-graph fast path: same min-label semantics as the loop."""
@@ -165,6 +194,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     if n_edges <= DRIVER_CC_MAX_EDGES:
         out = _driver_union_find(sym)
         sym.unpersist()
+        # consumers (stage_canon) can broadcast these labels: node count is
+        # bounded by 2x the edge count we just measured
+        out._kg_cc_small = True
         return out
     spark = edges.sparkSession
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -218,17 +250,30 @@ def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).select(F.col("obj_raw").alias("surface"))
         )
         .distinct()
+        .persist()
     )
-    edges = candidate_pairs(unlinked)
+    n_unl = unlinked.count()
+    if n_unl <= DRIVER_ALLPAIRS_MAX_SURFACES:
+        edges = _driver_allpairs_edges(unlinked)
+        unlinked.unpersist()  # collected already; nothing downstream reads it
+    else:
+        edges = candidate_pairs(unlinked)  # lazy — keep unlinked persisted
     cc = connected_components(edges)
 
-    # canon_rewrite: two shuffle joins against cc_labels (subj then obj);
-    # missing nodes stay themselves (singleton components)
-    subj_cc = cc.select(
-        F.col("node").alias("_s_node"), F.col("component").alias("_s_comp")
+    # canon_rewrite: two joins against cc_labels (subj then obj); missing
+    # nodes stay themselves (singleton components). When CC ran on the
+    # driver (edge count measured small) the label table is tiny — without
+    # the explicit broadcast hint Spark planned these as SortMergeJoins,
+    # i.e. two full shuffles + sorts of the ENTIRE triple set against a
+    # few-hundred-row table (measured: the bulk of stage D wall). Above the
+    # driver threshold the label table can be arbitrarily large, so it
+    # stays a shuffle join there.
+    hint = F.broadcast if getattr(cc, "_kg_cc_small", False) else (lambda df: df)
+    subj_cc = hint(
+        cc.select(F.col("node").alias("_s_node"), F.col("component").alias("_s_comp"))
     )
-    obj_cc = cc.select(
-        F.col("node").alias("_o_node"), F.col("component").alias("_o_comp")
+    obj_cc = hint(
+        cc.select(F.col("node").alias("_o_node"), F.col("component").alias("_o_comp"))
     )
     out = (
         linked.join(subj_cc, linked.subj_raw == F.col("_s_node"), "left")
