@@ -33,11 +33,11 @@ from kgpipe.qreg import REGISTRY
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full Stage A..E KG-construction pipeline on the
     seeded synthetic transcript corpus; returns the final triple table."""
-    from kgpipe import pipeline, schemas, synth
+    from kgpipe import pipeline, synth
 
-    c = synth.generate(n_convs=60)
-    tdf = spark.createDataFrame(c.transcripts, schema=schemas.TRANSCRIPTS)
-    edf = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT)
+    d = synth.stage_corpus(60)  # parquet-staged: real scan, no driver upload
+    tdf = spark.read.parquet(f"{d}/transcripts.parquet")
+    edf = spark.read.parquet(f"{d}/entity_dict.parquet")
     wd = tempfile.mkdtemp(prefix="entry_")
     return pipeline.run_simple(spark, tdf, edf, wd, input_fingerprint="entry60")
 
