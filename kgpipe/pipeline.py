@@ -95,6 +95,37 @@ def lineage_col() -> F.Column:
     )
 
 
+def stage_ingest(transcripts: DataFrame) -> DataFrame:
+    """Stage A: validate + per-turn dedup + stable ordering.
+
+    ONE shuffle: the (conv_id, turn_idx) dedup window rides the conv_id
+    repartition (hash(conv_id) satisfies its clustering requirement), so
+    dedup costs one sort, not a second shuffle — and the keep-row is
+    deterministic (min ts, then role) unlike dropDuplicates. A
+    min(struct(...)) hash-aggregate variant was measured 1.8x SLOWER here:
+    struct aggregation buffers are not hash-agg mutable, so Spark falls
+    back to SortAggregate with a pre- AND post-shuffle sort. The declared
+    turn-order window costs nothing on the extraction path — Catalyst
+    prunes it when turn_rank is not consumed (tests/test_plans.py pins
+    both facts)."""
+    spark = transcripts.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql.window import Window
+
+    a = transcripts.filter(
+        F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("text").isNotNull()
+    ).repartition(nparts, "conv_id")
+    w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "role")
+    a = (
+        a.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return extract.with_turn_order(a)
+
+
 class Pipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -179,25 +210,7 @@ class Pipeline:
         )
 
         # ---- Stage A: ingest + stable ordering (no checkpoint: cheap) ----
-        # ONE shuffle: repartition(conv_id); the (conv_id, turn_idx) dedup
-        # window and the turn-order window both run on that partitioning
-        # (hash(conv_id) satisfies clustered distribution for both), so
-        # dedup costs a sort, not a second shuffle — and the keep-row is
-        # deterministic (min ts, then role) unlike dropDuplicates.
-        from pyspark.sql.window import Window
-
-        a = transcripts.filter(
-            F.col("conv_id").isNotNull()
-            & F.col("turn_idx").isNotNull()
-            & F.col("text").isNotNull()
-        ).repartition(nparts, "conv_id")
-        w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "role")
-        a = (
-            a.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        a = extract.with_turn_order(a)
+        a = stage_ingest(transcripts)
 
         # ---- Stage B: extraction --------------------------------------
         raw, fp_b = self._run_stage(

@@ -48,24 +48,40 @@ def test_topk_no_global_sort(spark):
 
 def test_stage_e_is_single_shuffle(spark):
     """Final dedup+partition: exactly ONE Exchange — the part_key
-    repartition; the dedup window must ride it, not add a second."""
-    from pyspark.sql.window import Window
+    repartition; the hash-aggregate dedup must ride it (part_key is in the
+    grouping set, so hash(part_key) satisfies the clustering requirement),
+    and there must be no sort in the dedup itself."""
+    from kgpipe import pipeline
 
     canoned = spark.createDataFrame(
         [("s", "p", "o", "c", 0, "R1")],
         "subj string, pred string, obj string, conv_id string, turn_idx int, rule_id string",
     )
-    key = ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id"]
     with_key = canoned.withColumn(
-        "part_key", F.pmod(F.xxhash64("subj"), F.lit(64)).cast("int")
+        "part_key", pipeline.part_key_col("subj", 64)
     ).repartition(64, "part_key")
-    w = Window.partitionBy("part_key", *key).orderBy(F.lit(1))
-    triples = (
-        with_key.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    assert plan_of(triples).count("Exchange") == 1
+    triples = with_key.distinct()
+    plan = plan_of(triples)
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+    assert "Sort" not in plan
+
+
+def test_stage_a_single_shuffle_and_window_pruning(spark, transcripts_df):
+    """Stage A: exactly ONE Exchange (the conv_id repartition; the dedup
+    window rides it), and the declared turn-order window is pruned by
+    Catalyst when turn_rank is not consumed (the extraction path)."""
+    from kgpipe import pipeline
+
+    a = pipeline.stage_ingest(transcripts_df)
+    # extraction-path projection: turn_rank unused -> its window pruned,
+    # only the dedup window remains
+    plan = plan_of(a.select("conv_id", "turn_idx", "role", "text"))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window [") == 1  # dedup only; turn-order pruned
+    # when turn_rank IS consumed, the second window comes back
+    plan_rank = plan_of(a.select("conv_id", "turn_idx", "turn_rank"))
+    assert plan_rank.count("Window [") == 2
 
 
 def test_extraction_stage_no_shuffle_after_ordering(spark, transcripts_df, entity_dict_df):
