@@ -127,14 +127,30 @@ def udtf_sentence_expand(spark, sf):
     )
 
 
-@register("grouped_agg_pandas_udf", sql=None)
+_TRIMMED_SQL = """
+SELECT priority, ROUND(AVG(o_totalprice), 4) AS trimmed_mean_price FROM (
+  SELECT o.o_orderpriority AS priority, o.o_totalprice,
+         quantile_cont(o_totalprice, 0.05) OVER (PARTITION BY o_orderpriority) AS lo,
+         quantile_cont(o_totalprice, 0.95) OVER (PARTITION BY o_orderpriority) AS hi
+  FROM orders o)
+WHERE o_totalprice >= lo AND o_totalprice <= hi
+GROUP BY priority
+"""
+
+
+@register("grouped_agg_pandas_udf", sql=_TRIMMED_SQL)
 def grouped_agg_pandas_udf(spark, sf):
     """Grouped-aggregate pandas UDF (UDAF surface): trimmed mean of order
-    totals per priority — a stat built-ins don't offer directly."""
+    totals per priority — a stat built-ins don't offer directly. The
+    series is sorted before summation so the result is independent of the
+    arrival order of partitions (grouped-agg UDFs see rows in shuffle
+    order); pandas' linear quantile interpolation matches DuckDB's
+    quantile_cont, verified exact on this data."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
+        v = v.sort_values()
         lo, hi = v.quantile(0.05), v.quantile(0.95)
         inner = v[(v >= lo) & (v <= hi)]
         return float(inner.mean()) if len(inner) else float(v.mean())
