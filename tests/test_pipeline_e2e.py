@@ -104,3 +104,26 @@ def test_lineage_deterministic(final_triples):
 
 def test_partition_key_bounds(final_triples):
     assert final_triples.part_key.between(0, pipeline.N_TRIPLE_PARTS - 1).all()
+
+
+def test_parallelism_invariance(spark, transcripts_df, entity_dict_df, tmp_path, final_triples):
+    """North-rule invariant: the emitted triple set (including lineage ids
+    and sink part keys) is IDENTICAL at any parallelism level — re-run the
+    full pipeline with spark.sql.shuffle.partitions dropped from the
+    session default to 3 and compare against the module fixture's run."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        out = pipeline.run_simple(
+            spark,
+            transcripts_df.repartition(3),
+            entity_dict_df,
+            str(tmp_path / "par3"),
+            input_fingerprint="par3",
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    cols = ["subj", "pred", "obj", "conv_id", "turn_idx", "rule_id", "lineage_id", "part_key"]
+    a = set(map(tuple, out[cols].itertuples(index=False)))
+    b = set(map(tuple, final_triples[cols].itertuples(index=False)))
+    assert a == b
