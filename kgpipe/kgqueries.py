@@ -139,22 +139,23 @@ _SHINGLES = (
 )
 
 
-def _kg_sql(select: str) -> str:
+def _kg_sql(select: str, corpus_dir: str | None = None) -> str:
     """Wrap a final SELECT with the full pipeline CTE chain."""
+    corpus = corpus_dir or CORPUS_DIR
     norm_text = _NORM.format(col="text")
     norm_alias = _NORM.format(col="alias")
     sh = _SHINGLES.format(s="surface")
     return f"""
 WITH RECURSIVE t AS (
   SELECT conv_id, turn_idx, role, {norm_text} AS text_norm
-  FROM read_parquet('{CORPUS_DIR}/transcripts.parquet')
+  FROM read_parquet('{corpus}/transcripts.parquet')
   WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL AND text IS NOT NULL),
 raw AS (
 {_raw_cte()}),
 al0 AS (
   SELECT entity_id, canonical, etype, prior, {norm_alias} AS alias_norm
   FROM (SELECT entity_id, canonical, etype, prior, unnest(aliases) AS alias
-        FROM read_parquet('{CORPUS_DIR}/entity_dict.parquet'))),
+        FROM read_parquet('{corpus}/entity_dict.parquet'))),
 al AS (
   SELECT alias_norm, entity_id, canonical, etype, prior FROM (
     SELECT *, row_number() OVER (PARTITION BY alias_norm ORDER BY entity_id) AS rn

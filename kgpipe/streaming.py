@@ -131,26 +131,53 @@ def sf_dir_events(sf_dir: str) -> str:
     return f"{sf_dir}/events.parquet"
 
 
-@register("stream_stateful_applyinpandas", sql=None)
+_STATEFUL_SQL_TEMPLATE = """
+WITH agg AS (
+  SELECT conv_id,
+         CAST(SUM(CASE WHEN turn_idx % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_even,
+         CAST(SUM(CASE WHEN turn_idx % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_odd
+  FROM read_parquet('{corpus}/transcripts.parquet') GROUP BY conv_id)
+SELECT conv_id, n_even AS batch_rows, n_even AS turns_seen
+FROM agg WHERE n_even > 0
+UNION ALL
+SELECT conv_id, n_odd AS batch_rows, n_even + n_odd AS turns_seen
+FROM agg WHERE n_odd > 0
+"""
+
+
+def _stateful_sql() -> str:
+    from . import synth
+
+    return _STATEFUL_SQL_TEMPLATE.format(corpus=synth.stage_corpus(40))
+
+
+@register("stream_stateful_applyinpandas", sql=_stateful_sql())
 def stream_stateful_applyinpandas(spark, sf):
     """Arbitrary stateful per-conversation processing
     (applyInPandasWithState, SURVEY.md §2(j)): the corpus arrives as two
     micro-batches (turn_idx parity split); per conv_id the state carries
     the running turn count across batches, each batch emitting the
     conversation's cumulative progress. This is the shape incremental
-    per-conversation extraction state would use at 10^12-turn scale."""
-    import os
+    per-conversation extraction state would use at 10^12-turn scale.
 
+    Value oracle: batch 1 emits (conv, n_even, n_even), batch 2 emits
+    (conv, n_odd, n_even + n_odd) — expressible as two grouped selects
+    over the staged corpus. Batch order is pinned by distinct file
+    mtimes (the file stream sorts by modification time)."""
+    import os
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from . import schemas, synth
 
-    c = synth.generate(n_convs=40)
+    t = pd.read_parquet(f"{synth.stage_corpus(40)}/transcripts.parquet")
     src = tempfile.mkdtemp(prefix="state_in_")
-    t = c.transcripts
-    t[t["turn_idx"] % 2 == 0].to_parquet(os.path.join(src, "0_even.parquet"), index=False)
-    t[t["turn_idx"] % 2 == 1].to_parquet(os.path.join(src, "1_odd.parquet"), index=False)
+    p_even = os.path.join(src, "0_even.parquet")
+    p_odd = os.path.join(src, "1_odd.parquet")
+    t[t["turn_idx"] % 2 == 0].to_parquet(p_even, index=False)
+    t[t["turn_idx"] % 2 == 1].to_parquet(p_odd, index=False)
+    now = os.path.getmtime(p_odd)
+    os.utime(p_even, (now - 10, now - 10))  # batch 1 strictly first
 
     stream = (
         spark.readStream.schema(schemas.TRANSCRIPTS)
@@ -244,18 +271,40 @@ def incremental_triples(
     q.awaitTermination()
 
 
-@register("stream_sink_incremental", sql=None)
+def _stream_sink_sql() -> str:
+    """SQL twin of the foreachBatch sink: extraction + linking + coalesce
+    rewrite (no canon stage in the incremental path) + distinct + lineage,
+    over the staged 40-conv corpus both engines read."""
+    from . import synth
+    from .kgqueries import _kg_sql
+
+    return _kg_sql(
+        """SELECT subj, pred, obj, conv_id, turn_idx, rule_id,
+                  sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
+                                   CAST(turn_idx AS VARCHAR), rule_id))
+                    AS lineage_id
+           FROM (SELECT DISTINCT COALESCE(subj_link, subj_raw) AS subj, pred,
+                        COALESCE(obj_link, obj_raw) AS obj,
+                        conv_id, turn_idx, rule_id
+                 FROM linked)""",
+        corpus_dir=synth.stage_corpus(40),
+    )
+
+
+@register("stream_sink_incremental", sql=_stream_sink_sql())
 def stream_sink_incremental(spark, sf):
-    """End-to-end streaming triples: synthesize a small corpus, stream it
-    in, extract+link per micro-batch, idempotent append."""
-    import os
+    """End-to-end streaming triples: stream the staged corpus in,
+    extract+link per micro-batch, idempotent append. Draining the full
+    backlog must equal the batch extraction+linking semantics exactly —
+    pinned by the SQL value oracle over the same staged parquet."""
+    import shutil
 
-    from . import schemas, synth
+    from . import synth
 
-    c = synth.generate(n_convs=40)
+    d = synth.stage_corpus(40)
     src = tempfile.mkdtemp(prefix="stream_in_")
-    c.transcripts.to_parquet(f"{src}/part0.parquet", index=False)
-    edf = spark.createDataFrame(c.entity_dict, schema=schemas.ENTITY_DICT)
+    shutil.copy(f"{d}/transcripts.parquet", f"{src}/part0.parquet")
+    edf = spark.read.parquet(f"{d}/entity_dict.parquet")
     sink = tempfile.mkdtemp(prefix="stream_sink_")
     ck = tempfile.mkdtemp(prefix="stream_ck_")
     incremental_triples(spark, src, edf, sink, ck)
