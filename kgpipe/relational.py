@@ -504,7 +504,14 @@ def sort_global(spark, sf):
     )
 
 
-@register("sort_within_part", sql=None)  # physical layout op -> rows-only
+@register(
+    "sort_within_part",
+    # the driver compare is order-insensitive, so the value oracle checks
+    # CONTENT preservation (no lost/duplicated rows through the
+    # repartition+sort); the physical ordering property itself is asserted
+    # in tests/test_registry_new.py::test_sort_within_part_layout
+    sql="SELECT l_orderkey, l_linenumber FROM lineitem",
+)
 def sort_within_part(spark, sf):
     return (
         load(spark, sf, "lineitem")

@@ -212,3 +212,19 @@ def test_range_asof_window_equals_join_form(spark):
         .reset_index(drop=True)
     )
     assert got.equals(ref)
+
+
+def test_sort_within_part_layout(spark):
+    """Physical property the order-insensitive driver compare cannot see:
+    within every partition, rows are sorted by (l_orderkey, l_linenumber)."""
+    df = q("sort_within_part")(spark, SF)
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            keys = list(zip(pdf["l_orderkey"], pdf["l_linenumber"]))
+            yield pd.DataFrame({"ok": [keys == sorted(keys)]})
+
+    flags = df.mapInPandas(check, "ok boolean").toPandas()
+    assert flags["ok"].all()
