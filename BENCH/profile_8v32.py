@@ -1,0 +1,179 @@
+"""Stage-isolated profiling of the 8->32 scaling pair.
+
+BENCH/scaling_8v32_fused.md reports 0.605 efficiency for the full pipeline
+at 16M turns and BASELINE.md attributes it to single-box saturation of the
+mapInPandas extraction stages. That attribution was narrative; this script
+tests it by timing ISOLATED jobs at taskset-pinned local[8] and local[32]
+on the same corpus:
+
+  scan_jvm    scan -> normalize -> anchor prefilter -> count
+              (whole-stage codegen only; no Python workers, no shuffle)
+  extract_py  scan_jvm + the mapInPandas triple extraction
+              (adds 1 Python worker per task; the suspect stage)
+  shuffle_agg scan -> repartition(conv_id) -> per-conv window dedup -> count
+              (the Stage A shuffle shape; JVM shuffle path, no Python)
+  extract_py_smallbatch / _bigbatch
+              extract_py with arrow.maxRecordsPerBatch 2048 / 50000
+              (mitigation probe: is the gap feeder/batch-shaped?)
+
+Per (level, job): one warm-up pass then `--trials` measured passes, best-of
+reported. Protocol matches run_scaling.py's scaled mode: fresh pinned JVM
+per level, heap min(3*cores,48)g, tmpfs scratch, shuffle partitions 2x
+cores. Writes BENCH/profile_8v32.md.
+
+Usage: python BENCH/profile_8v32.py [--turns 16000000] [--trials 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import os as _os
+from kgpipe import extract, schemas
+from kgpipe.session import get_spark
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+cores = {cores}
+corpus = {corpus!r}
+trials = {trials}
+shm = f"/dev/shm/kgprof_{{cores}}"
+_os.makedirs(shm, exist_ok=True)
+spark = get_spark(
+    "profile",
+    master=f"local[{{cores}}]",
+    shuffle_partitions=2 * cores,
+    extra_conf={{"spark.local.dir": shm}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+t = spark.read.schema(schemas.TRANSCRIPTS).parquet(corpus + "/transcripts.parquet")
+
+
+def scan_jvm():
+    d = t.withColumn("text_norm", extract.normalize_text_col(F.col("text")))
+    d = d.filter(extract.anchor_prefilter(F.col("text_norm")))
+    return d.count()
+
+
+def extract_py():
+    return extract.stage_extract(t, None).count()
+
+
+def shuffle_agg():
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    d = (
+        t.repartition("conv_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return d.count()
+
+
+JOBS = [
+    ("scan_jvm", scan_jvm, {{}}),
+    ("extract_py", extract_py, {{}}),
+    ("shuffle_agg", shuffle_agg, {{}}),
+    ("extract_py_smallbatch", extract_py,
+     {{"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"}}),
+    ("extract_py_bigbatch", extract_py,
+     {{"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"}}),
+]
+
+out = {{}}
+for name, fn, conf in JOBS:
+    saved = {{k: spark.conf.get(k, None) for k in conf}}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    walls, rows = [], None
+    for trial in range(trials + 1):
+        t0 = time.time()
+        rows = fn()
+        walls.append(time.time() - t0)
+    for k, v in saved.items():
+        if v is not None:
+            spark.conf.set(k, v)
+    out[name] = {{"wall_s": round(min(walls[1:]), 2), "rows": rows,
+                 "all_walls": [round(w, 2) for w in walls]}}
+print("RESULT " + json.dumps({{"cores": cores, "jobs": out}}))
+"""
+
+
+def run_level(cores: int, corpus: str, trials: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, trials=trials)
+    env = dict(os.environ)
+    env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env=env,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stderr[-3000:]}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=16_000_000)
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from bench import corpus_parquet
+
+    n_convs = max(200, args.turns // 70)
+    corpus = corpus_parquet(n_convs)
+
+    lo = run_level(args.n, corpus, args.trials)
+    hi = run_level(args.n4, corpus, args.trials)
+
+    ratio = args.n4 / args.n
+    lines = [
+        "# Stage-isolated profile of the 8->32 pair "
+        f"(~{n_convs * 70:,} turns, trials={args.trials}, "
+        "protocol = run_scaling.py scaled mode)",
+        "",
+        "| job | local[%d] s | local[%d] s | speedup | efficiency |"
+        % (args.n, args.n4),
+        "| --- | --- | --- | --- | --- |",
+    ]
+    effs = {}
+    for name in lo["jobs"]:
+        a, b = lo["jobs"][name]["wall_s"], hi["jobs"][name]["wall_s"]
+        sp = a / b if b else float("inf")
+        effs[name] = round(sp / ratio, 3)
+        lines.append(
+            f"| {name} | {a} | {b} | {sp:.2f}x | {effs[name]} |"
+        )
+    summary = {
+        "corpus_turns_approx": n_convs * 70,
+        f"local{args.n}": lo,
+        f"local{args.n4}": hi,
+        "efficiency": effs,
+    }
+    print(json.dumps(summary))
+    lines += ["", "Raw walls (first = discarded warm-up):"]
+    for lev, r in ((args.n, lo), (args.n4, hi)):
+        for name, j in r["jobs"].items():
+            lines.append(f"- local[{lev}] {name}: {j['all_walls']} rows={j['rows']}")
+    with open(os.path.join(REPO, "BENCH", "profile_8v32.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -377,16 +377,21 @@ def agg_collect(spark, sf):
 @register(
     "agg_grouping_sets",
     sql="""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
 def agg_grouping_sets(spark, sf):
+    # gid (Spark grouping_id == DuckDB GROUPING bitmask, verified identical
+    # int64 semantics) makes cube-generated NULLs distinguishable from data
+    # NULLs should a nullable grouping column ever appear.
     return (
         load(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.grouping_id().alias("gid"),
         )
     )
 
