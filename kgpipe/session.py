@@ -49,7 +49,10 @@ def get_spark(
         # parallelizes the big stages. Parallelism wins at scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("KGPIPE_ARROW_BATCH", "4096"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

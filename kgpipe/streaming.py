@@ -40,11 +40,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_rates(stream: DataFrame) -> DataFrame:
     """Tumbling 1-hour event rate per type with a 2-hour watermark: late
-    rows beyond the watermark are dropped from open windows."""
+    rows beyond the watermark are dropped from open windows.
+
+    The sum accumulates in DECIMAL(18,2) (event values carry exactly two
+    decimals, so the cast is lossless) and converts to double only at the
+    end: decimal addition is exact and order-independent, so the emitted
+    value is identical at any parallelism / micro-batch split — and
+    bit-identical to a batch-engine oracle. A double fold would drift in
+    the last ulp with partition order."""
     return (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("win_start"),
             "event_type",
@@ -83,35 +95,108 @@ def stream_ingest(spark, sf):
     return run_available_now_append(s, "ingest")
 
 
-@register("stream_window_aggs", sql=None)
+@register(
+    "stream_window_aggs",
+    sql="""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start_s,
+                  event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2""",
+)
 def stream_window_aggs(spark, sf):
-    return run_available_now(windowed_rates(stream_events(spark, sf)), "winagg")
+    """Complete-mode drain of the whole backlog == a batch hourly aggregate,
+    so this carries a full value oracle: win_start is projected to epoch
+    seconds (session tz pinned UTC; Spark 1h windows and DuckDB date_trunc
+    both align to epoch hours) and the sum is the exact decimal fold of
+    windowed_rates — both engines produce the same double bit pattern."""
+    out = run_available_now(windowed_rates(stream_events(spark, sf)), "winagg")
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
-@register("stream_watermark_late", sql=None)
+_WM_LATE_SQL = """
+WITH span AS (
+  SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events
+), b1 AS (  -- micro-batch 1: newest quartile. Cut = lo + 3/4 of the span in
+            -- INTEGER microseconds — bit-exact against the Python timedelta
+            -- arithmetic staging the Spark micro-batches.
+  SELECT ts FROM events, span
+  WHERE ts >= lo + to_microseconds((epoch_us(hi) - epoch_us(lo)) * 3 // 4)
+), wm AS (  -- final watermark = max event time - 1 hour = hi - 1h
+  SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM b1
+)
+-- The late replay (the older 75%, arriving two micro-batches after the
+-- newest data) faces a late-event filter watermark of hi - 1h and is
+-- dropped wholesale (measured: numRowsDroppedByWatermark == its row
+-- count). Emitted result = the on-time rows, restricted to day windows
+-- the final watermark has closed.
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start_s,
+       COUNT(*) AS n
+FROM b1, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1
+"""
+
+
+@register("stream_watermark_late", sql=_WM_LATE_SQL)
 def stream_watermark_late(spark, sf):
-    """Watermark late-data semantics: the source is staged as two files
-    drained one per micro-batch (newest events first). Batch 1 advances the
-    event-time watermark near max(ts); batch 2 replays the oldest events,
-    which land beyond the 1-hour watermark and are dropped from their
-    (already emitted, append-mode) windows. Output = windows closed by the
-    watermark — late rows provably excluded."""
+    """Watermark late-data semantics, staged as THREE files drained one per
+    micro-batch (newest first, oldest last). Spark's late-event filter uses
+    the watermark with a one-batch lag (batch N filters with the watermark
+    committed after batch N-1 — measured in this engine version with
+    numRowsDroppedByWatermark), so a two-file arrangement never drops
+    anything: the late file's rows are filtered against the initial 1970
+    watermark, merged into still-live state, and emitted with full counts.
+    The three-file arrangement makes the drop real:
+
+      batch 0: newest quartile minus its last 30 minutes — advances the
+               committed watermark to ~hi - 30min - 1h;
+      batch 1: the final 30 minutes (contains max ts) — watermark commits
+               to hi - 1h;
+      batch 2: the oldest 75% — every row is >= 1h older than BOTH
+               candidate filter watermarks, so the replay is dropped
+               wholesale whichever lag the engine applies.
+
+    Output = on-time rows in day windows the final watermark (hi - 1h) has
+    closed; the cut-day window's count provably excludes the dropped
+    replay. The split points are integer-microsecond arithmetic
+    (lo + 3/4 span; hi - 30min), so the DuckDB twin reproduces the exact
+    micro-batch assignment and the entry carries a full value oracle."""
     import os
     import shutil
 
     static = spark.read.parquet(f"{sf_dir_events(sf)}").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    cut = static.selectExpr(
-        "percentile_approx(ts, 0.75) AS c"
-    ).collect()[0]["c"]
+    from datetime import timedelta
+
+    lo, hi = static.select(F.min("ts"), F.max("ts")).first()
+    span_us = (hi - lo) // timedelta(microseconds=1)
+    cut = lo + timedelta(microseconds=span_us * 3 // 4)
+    tail = hi - timedelta(minutes=30)
     d = tempfile.mkdtemp(prefix="wm_src_")
-    static.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.parquet(f"{d}/b1")
-    static.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{d}/b2")
+    parts = [
+        ("b0", (F.col("ts") >= F.lit(cut)) & (F.col("ts") < F.lit(tail))),
+        ("b1", F.col("ts") >= F.lit(tail)),
+        ("b2", F.col("ts") < F.lit(cut)),
+    ]
+    for sub, pred in parts:
+        static.filter(pred).coalesce(1).write.parquet(f"{d}/{sub}")
     stage = tempfile.mkdtemp(prefix="wm_in_")
-    for i, sub in enumerate(("b1", "b2")):
+    import time
+
+    now = time.time()
+    for i, (sub, _) in enumerate(parts):
         src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
-        shutil.copy(f"{d}/{sub}/{src}", f"{stage}/{i}_{sub}.parquet")
+        dst = f"{stage}/{i}_{sub}.parquet"
+        shutil.copy(f"{d}/{sub}/{src}", dst)
+        # FileStreamSource orders the backlog by modification time; copies
+        # can land within the same clock tick, so pin strictly increasing
+        # mtimes to make micro-batch order (newest data first) deterministic
+        os.utime(dst, (now + i, now + i))
     s = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -122,7 +207,7 @@ def stream_watermark_late(spark, sf):
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"))
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("win_start"), "n")
+        .select(F.unix_timestamp(F.col("w.start")).alias("win_start_s"), "n")
     )
     return run_available_now_append(agg, "wmlate")
 
