@@ -55,7 +55,7 @@ def _curate_sql() -> str:
     min doc per cluster. The Spark side pads doc ids so its string min-label
     CC equals this numeric min; LSH recall is total on this corpus (same
     evidence as dedup_minhash)."""
-    from .dedup import DOC_SHINGLES_SQL
+    from .dedup import DOC_EDGES_SQL, DOC_SHINGLES_SQL
     from .textstats import LANG_STOPWORDS
 
     hits = ", ".join(
@@ -87,11 +87,8 @@ winners AS (
   SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY LOWER(TRIM(text))),
 docs2 AS (SELECT d.* FROM docs d JOIN winners USING (doc_id)),
 {shingles},
-edges AS (
-  SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-  WHERE ROUND(CAST(LEN(LIST_INTERSECT(x.s, y.s)) AS DOUBLE)
-              / (LEN(x.s) + LEN(y.s) - LEN(LIST_INTERSECT(x.s, y.s))), 4)
-        >= {DOC_JACCARD}),
+{DOC_EDGES_SQL},
+edges AS (SELECT a, b FROM jacc WHERE jaccard >= {DOC_JACCARD}),
 sym AS (SELECT a AS sn, b AS dn FROM edges UNION ALL SELECT b, a FROM edges),
 walk AS (
   SELECT DISTINCT sn AS node, sn AS comp FROM sym

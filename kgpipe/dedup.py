@@ -183,13 +183,27 @@ sh AS (
                                   FOR i IN GENERATE_SERIES(1, LEN(wt) - 2)]) END AS s
   FROM w)"""
 
+# Exact-Jaccard edges with an inverted-index candidate join instead of the
+# naive cross join: jaccard >= t > 0 requires at least one shared shingle,
+# so candidates = pairs sharing a shingle — the SAME result set, minus the
+# O(n²) LIST_INTERSECT wall the driver harness would pay per entry.
+DOC_EDGES_SQL = """
+tokix AS (SELECT doc_id, UNNEST(s) AS t FROM sh),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM tokix x JOIN tokix y ON x.t = y.t AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+jacc AS (
+  SELECT c.a, c.b,
+         ROUND(CAST(LEN(LIST_INTERSECT(sa.s, sb.s)) AS DOUBLE)
+               / (LEN(sa.s) + LEN(sb.s) - LEN(LIST_INTERSECT(sa.s, sb.s))), 4)
+           AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)"""
+
 _MINHASH_SQL = f"""
-WITH {DOC_SHINGLES_SQL.format(src="documents")}
-SELECT a, b, jaccard FROM (
-  SELECT x.doc_id AS a, y.doc_id AS b,
-         ROUND(CAST(LEN(LIST_INTERSECT(x.s, y.s)) AS DOUBLE)
-               / (LEN(x.s) + LEN(y.s) - LEN(LIST_INTERSECT(x.s, y.s))), 4) AS jaccard
-  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+WITH {DOC_SHINGLES_SQL.format(src="documents")},
+{DOC_EDGES_SQL}
+SELECT a, b, jaccard FROM jacc
 WHERE jaccard >= {DOC_JACCARD}
 """
 

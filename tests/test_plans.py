@@ -108,3 +108,27 @@ def test_no_row_udfs_in_engine():
         if "F.udf(" in p.read_text() or ".rdd." in p.read_text()
     ]
     assert not offenders, offenders
+
+
+def test_cc_iterative_plan_stays_constant(spark, monkeypatch):
+    """cc_iterate at scale: localCheckpoint truncates lineage every round,
+    so the executed plan of the label frame is the SAME small checkpoint
+    scan regardless of how many propagation rounds ran — without it, each
+    round would nest the previous round's join/agg DAG and the plan (and
+    Catalyst analysis time) would grow linearly with graph diameter."""
+    from kgpipe import canon
+
+    monkeypatch.setattr(canon, "DRIVER_CC_MAX_EDGES", 0)  # force loop path
+
+    def chain(n):
+        edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+        return spark.createDataFrame(edges, "a string, b string")
+
+    # diameter 2 -> converges in ~2 rounds; diameter 16 -> ~5+ rounds
+    short = canon.connected_components(chain(2))
+    long = canon.connected_components(chain(16))
+    assert set(r["component"] for r in long.collect()) == {"n000"}
+    p_short, p_long = plan_of(short), plan_of(long)
+    assert len(p_long.splitlines()) == len(p_short.splitlines())
+    # and the result really is a lineage-truncated scan, not the join DAG
+    assert "Join" not in p_long and "Scan ExistingRDD" in p_long
