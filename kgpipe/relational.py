@@ -753,17 +753,54 @@ def agg_pivot(spark, sf):
     )
 
 
-@register("sample_fraction", sql=None)  # sampling -> rows-only
-def sample_fraction(spark, sf):
-    """Seeded Bernoulli sample — deterministic for a fixed seed and input
-    partitioning (the corpus-subsampling primitive)."""
-    return load(spark, sf, "orders").sample(fraction=0.1, seed=42)
-
-
-@register("sample_stratified", sql=None)  # sampling -> rows-only
-def sample_stratified(spark, sf):
-    """Per-stratum sampling rates via sampleBy — e.g. downsample the
-    dominant document language/class while keeping rare strata whole."""
-    return load(spark, sf, "orders").sampleBy(
-        "o_orderstatus", fractions={"F": 0.05, "O": 0.2, "P": 1.0}, seed=42
+def _hash_bucket(key):
+    """Engine-neutral deterministic sampling bucket in [0, 10000): first 8
+    hex digits of md5(key) as an integer. Unlike a seeded Bernoulli sample
+    (whose membership changes whenever the input partitioning changes —
+    useless for a resumable pipeline), hash sampling is a pure row
+    property: stable under repartitioning, across restarts, and across
+    engines, which is what makes the full value oracle possible."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
     )
+
+
+_HASH_BUCKET_SQL = (
+    "CAST(CONCAT('0x', SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 10000"
+)
+
+
+@register(
+    "sample_fraction",
+    sql=f"SELECT * FROM orders WHERE {_HASH_BUCKET_SQL} < 1000",
+)
+def sample_fraction(spark, sf):
+    """Deterministic 10% sample by md5 key bucket — the corpus-subsampling
+    primitive (see _hash_bucket for why hash beats seeded Bernoulli at
+    scale)."""
+    o = load(spark, sf, "orders")
+    return o.filter(_hash_bucket(F.col("o_orderkey")) < 1000)
+
+
+@register(
+    "sample_stratified",
+    sql=f"""SELECT * FROM orders
+            WHERE {_HASH_BUCKET_SQL} <
+                  CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 2000
+                       ELSE 10000 END""",
+)
+def sample_stratified(spark, sf):
+    """Per-stratum deterministic rates (downsample dominant strata, keep
+    rare ones whole) — sampleBy semantics with a hash-bucket membership
+    test instead of seeded RNG, for the same reproducibility reasons as
+    sample_fraction."""
+    o = load(spark, sf, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 500)
+        .when(F.col("o_orderstatus") == "O", 2000)
+        .otherwise(10000)
+    )
+    return o.filter(_hash_bucket(F.col("o_orderkey")) < rate)

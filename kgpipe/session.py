@@ -7,8 +7,10 @@ scale-relevant configs are applied uniformly:
   ("AQE skew-join splitting").
 - shuffle.partitions proportional to cores so the local[8]-vs-local[32]
   scaling comparison (SURVEY.md §6.1) is fair.
-- Arrow enabled + bounded batch size: long `text` rows mean record-count
-  batching must be conservative or Python workers balloon (SURVEY.md §4).
+- Arrow enabled, batch size measured not guessed: 50k-row batches (~15 MB
+  at transcript text widths) amortize per-batch overhead 1.3-1.8x over the
+  old conservative 4096 without worker memory pressure (BENCH/
+  profile_8v32.md); override with KGPIPE_ARROW_BATCH.
 """
 
 from __future__ import annotations
@@ -49,9 +51,16 @@ def get_spark(
         # parallelizes the big stages. Parallelism wins at scale.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 50000 (was 4096): measured on the 16M-turn corpus (BENCH/
+        # profile_8v32.md) — bigger Arrow batches amortize the per-batch
+        # serialization + Python dispatch and cut the extraction stage wall
+        # 1.3-1.8x at every parallelism level (pipeline local[8] 120k ->
+        # 168k triples/s), while 50k rows x ~300B text is ~15 MB per batch —
+        # nowhere near worker memory pressure. The 2->8 scaling gate stays
+        # green at 0.829 under the new default.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("KGPIPE_ARROW_BATCH", "4096"),
+            os.environ.get("KGPIPE_ARROW_BATCH", "50000"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))

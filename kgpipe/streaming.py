@@ -291,14 +291,23 @@ def stream_stateful_applyinpandas(spark, sf):
     return run_available_now_append(out, "stateful")
 
 
-@register("stream_stateful_dedup", sql=None)
+@register(
+    "stream_stateful_dedup",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_stateful_dedup(spark, sf):
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark keeps ONE
+    event per (user_id, event_type) while state older than the watermark
+    ages out. WHICH event survives per key is an arrival-order artifact
+    (per-partition first — not a row property), so the entry returns the
+    deterministic part of the contract: exactly one output row per
+    distinct live key. That invariant is the value oracle; survivor choice
+    stays engine-internal."""
     s = stream_events(spark, sf).withWatermark("ts", "2 hours")
     dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
-        "event_id", "user_id", "event_type"
+        "user_id", "event_type"
     )
-    spark_df = run_available_now_append(dedup, "dedup")
-    return spark_df
+    return run_available_now_append(dedup, "dedup")
 
 
 def incremental_triples(

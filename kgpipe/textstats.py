@@ -146,12 +146,40 @@ def text_fingerprint(spark, sf):
     )
 
 
-@register("text_winnow_fingerprint", sql=None)  # xxhash64-based -> rows-only
+_WINNOW_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ')
+           AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN LEN(toks) < 8 THEN [ARRAY_TO_STRING(toks, ' ')]
+              ELSE [ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 7), ' ')
+                    FOR i IN GENERATE_SERIES(1, LEN(toks) - 7)] END AS grams
+  FROM w)
+SELECT doc_id,
+       LIST_MIN(LIST_TRANSFORM(grams,
+         x -> CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT))) AS fp_min,
+       LIST_MAX(LIST_TRANSFORM(grams,
+         x -> CAST(CONCAT('0x', SUBSTR(md5(x), 1, 15)) AS BIGINT))) AS fp_max,
+       LEN(toks) AS n_tokens
+FROM g
+"""
+
+
+@register("text_winnow_fingerprint", sql=_WINNOW_SQL)
 def text_winnow_fingerprint(spark, sf):
-    """Winnowing-style rolling fingerprint: min/max xxhash64 over 8-token
-    windows — a compact near-dup signature computable in one scan. Tokens
-    are materialized in a prior projection so the transform lambda (which
-    is interpreted per element) never re-runs the tokenizing regex."""
+    """Winnowing-style rolling fingerprint: min/max of a 60-bit gram hash
+    over 8-token windows — a compact near-dup signature computable in one
+    scan. Tokens are materialized in a prior projection so the transform
+    lambda (which is interpreted per element) never re-runs the tokenizing
+    regex.
+
+    Gram hash = first 15 hex digits of md5 as a positive int64: identical
+    in any engine, which buys the full value oracle. On a real 100 TB run
+    swap the lambda for F.xxhash64 (one line) — ~10x cheaper per gram,
+    same winnowing semantics, at the cost of engine-portable values."""
     from .dedup import tokens_col
 
     win = 8
@@ -163,7 +191,10 @@ def text_winnow_fingerprint(spark, sf):
         f"ELSE transform(sequence(0, size(toks) - {win}), "
         f"i -> array_join(slice(toks, i + 1, {win}), ' ')) END"
     )
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
     return d.select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
