@@ -76,9 +76,11 @@ _ROUND2_WINDOW = [
     "agg_salted_twophase", "agg_grouping_sets", "agg_pivot",
     "join_range_asof", "dedup_embedding_cosine", "ann_bruteforce_blas_topk",
     "ann_lsh_topk",
+    # oracles added after the r1 run — upgrade their r1 rows-only status
+    "sort_within_part", "dedup_ngram_jaccard", "sample_fraction",
+    "sample_stratified",
     # stable round-1-green continuity sample
-    "scan_parquet", "proj_select", "filter_pred", "proj_normalize_text",
-    "join_broadcast", "agg_hash", "win_turn_order", "dedup_exact",
+    "scan_parquet", "join_broadcast", "agg_hash", "dedup_exact",
     "dedup_minhash", "dedup_simhash", "ann_bruteforce_topk",
     "text_token_count",
 ]
