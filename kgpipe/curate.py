@@ -16,17 +16,27 @@ from pyspark.sql import functions as F
 from .canon import connected_components
 from .dedup import DOC_JACCARD, doc_minhash_pairs
 from .qreg import load, register
-from .textstats import text_lang_id, text_quality_score
+from .textstats import lang_best_col
 
 
 def curate(spark: SparkSession, sf: str) -> DataFrame:
-    lang = text_lang_id(spark, sf).select("doc_id", "lang_pred")
-    qual = text_quality_score(spark, sf).select("doc_id", "n_tokens", "len_ok")
+    # lang-ID and quality are per-row projections — computed INLINE on one
+    # scan (at 100 TB, joining the lang/quality query outputs back to the
+    # table would mean three scans and two doc_id shuffles for zero extra
+    # information; this way the whole gate is a single codegen stage)
     docs = (
         load(spark, sf, "documents")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
-        .filter((F.col("lang_pred") == "en") & (F.col("len_ok") == 1))
+        .select(
+            "doc_id",
+            "text",
+            lang_best_col(F.col("text"))["lang"].alias("lang_pred"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+            "n_chars",
+        )
+        .filter(
+            (F.col("lang_pred") == "en") & F.col("n_chars").between(50, 5000)
+        )
+        .drop("n_chars")
     )
 
     # exact dedup: keep the min doc_id per normalized text

@@ -105,13 +105,13 @@ def _lang_id_sql() -> str:
     FROM m"""
 
 
-@register("text_lang_id", sql=_lang_id_sql())
-def text_lang_id(spark, sf):
-    """Language ID by stopword-hit ratio: tokenize once, score each language
-    via array_intersect against its stopword list, argmax with deterministic
-    tie-break on language code."""
-    d = load(spark, sf, "documents")
-    toks = F.array_distinct(F.split(normalize_text_col(F.col("text")), " "))
+def lang_best_col(text_col):
+    """struct(hits, lang) of the winning language for a text column —
+    argmax of stopword hits with deterministic tie-break on language code.
+    A pure column expression so composed pipelines (corpus_curation) can
+    compute it inline on their own scan instead of joining this module's
+    query output back to the table."""
+    toks = F.array_distinct(F.split(normalize_text_col(text_col), " "))
     scores = F.array(
         *[
             F.struct(
@@ -125,7 +125,16 @@ def text_lang_id(spark, sf):
             for lang, ws in sorted(LANG_STOPWORDS.items())
         ]
     )
-    best = F.array_max(scores)
+    return F.array_max(scores)
+
+
+@register("text_lang_id", sql=_lang_id_sql())
+def text_lang_id(spark, sf):
+    """Language ID by stopword-hit ratio: tokenize once, score each language
+    via array_intersect against its stopword list, argmax with deterministic
+    tie-break on language code."""
+    d = load(spark, sf, "documents")
+    best = lang_best_col(F.col("text"))
     return d.select(
         "doc_id",
         best["lang"].alias("lang_pred"),
