@@ -2,11 +2,16 @@
 scaling efficiency between N and 4N executors).
 
 Sandbox protocol (SURVEY.md §6.1): no multi-node cluster exists here, so
-the two cluster sizes are two parallelism levels — local[8] vs local[32] —
-on the SAME seeded ~1M-turn corpus, each in a fresh JVM subprocess with
-shuffle partitions pinned to 2x cores. Each level runs one warm-up pass
+the two cluster sizes are two taskset-pinned parallelism levels (default
+local[2] vs local[8] — the regime where cores, not the box's shared
+memory bus, are the binding constraint; see BENCH/profile_8v32.md) on the
+SAME seeded corpus, each in a fresh JVM subprocess with shuffle
+partitions pinned to 2x cores. Each level runs one warm-up pass
 (JIT/codegen) then `trials` measured passes; best-of is reported (the
-machine is shared, so min is the least-noise estimator).
+machine is shared, so min is the least-noise estimator). MEASUREMENT
+HYGIENE: results are only valid if nothing else runs on the box — a
+concurrent pytest/crosscheck session (unpinned, local[32]) steals the
+pinned cores and inflates the small level's walls arbitrarily.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 

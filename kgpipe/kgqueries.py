@@ -18,8 +18,15 @@ Oracle-ability notes:
   (tests/test_oracle_parity.py P/R == 1.0 gate), so the two edge sets
   agree here. On adversarial data LSH is probabilistic — that recall gap
   is the documented approximation, not a bug.
-- Operators whose values depend on xxhash64 (agg_minhash_sig) or on
-  manifest/runtime state (sink_metrics, sink_checkpoint) stay rows-only.
+- The rows-only remainder, each for a structural reason: agg_minhash_sig
+  (xxhash64 — no DuckDB twin), sink_metrics / sink_checkpoint (values are
+  runtime partition/manifest state, not row properties),
+  udf_mention_detect (emits character OFFSETS from longest-first
+  non-overlapping finditer — DuckDB regex functions return matches, not
+  positions), dedup_simhash / ann_lsh_topk (xxhash64-derived buckets),
+  ann_ivf_topk (KMeans centers are engine-internal), agg_approx_distinct
+  (HLL sketch values are engine-specific), multimodal_media_meta (decode
+  stubbed — no media libs in the sandbox).
 """
 
 from __future__ import annotations
