@@ -54,10 +54,12 @@ def get_spark(
         # 50000 (was 4096): measured on the 16M-turn corpus (BENCH/
         # profile_8v32.md) — bigger Arrow batches amortize the per-batch
         # serialization + Python dispatch and cut the extraction stage wall
-        # 1.3-1.8x at every parallelism level (pipeline local[8] 120k ->
-        # 168k triples/s), while 50k rows x ~300B text is ~15 MB per batch —
-        # nowhere near worker memory pressure. The 2->8 scaling gate stays
-        # green at 0.829 under the new default.
+        # 1.3-1.8x at every parallelism level (full pipeline local[8] 120k
+        # -> 216k triples/s), while 50k rows x ~300B text is ~15 MB per
+        # batch — nowhere near worker memory pressure. The 2->8 scaling
+        # gate stays green under the new default: 0.845 checkpointed /
+        # 0.834 fused-flat (BENCH/BASELINE.md §1; the scaled-resource
+        # fused pair measures 0.772 and is disclosed there).
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("KGPIPE_ARROW_BATCH", "50000"),
