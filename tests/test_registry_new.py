@@ -229,3 +229,20 @@ def test_sort_within_part_layout(spark):
 
     flags = df.mapInPandas(check, "ok boolean").toPandas()
     assert flags["ok"].all()
+
+
+def test_approx_distinct_error_bound(spark):
+    """agg_approx_distinct is rows-only for the driver (HLL sketch values
+    are engine-specific); its value-level evidence is this bound: each
+    group's estimate within 5x the configured 2% rsd of the exact count."""
+    got = q("agg_approx_distinct")(spark, SF).toPandas().set_index("l_returnflag")
+    exact = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag, row in exact.iterrows():
+        rel = abs(got.loc[flag, "approx_parts"] - row["n"]) / row["n"]
+        assert rel <= 0.10, (flag, rel)
