@@ -37,7 +37,7 @@ from kgpipe.session import get_spark
 
 cores = {cores}
 corpus = {corpus!r}
-scaled = {scaled}
+scaled = {scaled!r} == "scaled"  # tmpfs scratch only in full scaled mode
 # resource-scaled mode: shuffle + stage sinks on tmpfs (a real N-node
 # cluster has N nodes' worth of local disk; one shared root disk caps the
 # larger level's I/O exactly where a real cluster would scale it).
@@ -87,7 +87,7 @@ print("RESULT " + json.dumps({{"cores": cores, "wall_s": round(best, 2),
 
 
 def run_level(
-    cores: int, corpus: str, trials: int, checkpoints: bool, scaled: bool
+    cores: int, corpus: str, trials: int, checkpoints: bool, resources: str
 ) -> dict:
     code = CHILD.format(
         repo=REPO,
@@ -95,23 +95,25 @@ def run_level(
         corpus=corpus,
         trials=trials,
         checkpoints=checkpoints,
-        scaled=scaled,
+        scaled=resources,
     )
     # pin the process tree to exactly `cores` CPUs: a local[N] JVM otherwise
     # borrows idle cores for Python workers/GC/shuffle threads, which a real
     # N-core executor does not have — unpinned, the small level's throughput
     # is inflated and the N->4N comparison is unfair
     env = dict(os.environ)
-    if scaled:
+    if resources in ("scaled", "heap"):
         # aggregate memory scales with executor count on a real cluster: an
         # N-core level gets N executors' worth of heap, 4N gets 4x. A flat
         # heap would make the larger level GC 4x harder on the same garbage
         # rate — an artifact no real 4N cluster has.
         # capped: heap + tmpfs shuffle files + OS must fit the box's RAM — an
         # uncapped 3g x 32 = 96g heap thrashed the 125G host
+        # ("heap" = diagnostic mode: scaled heap WITHOUT the tmpfs scratch,
+        # to isolate which of the two scaled-protocol knobs moves the number)
         env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
     else:
-        # flat-resource mode (robustness check requested in review): both
+        # flat-resource mode (primary fused evidence since round 2): both
         # levels get the identical heap and share the default local dir, so
         # the efficiency number cannot be an artifact of the per-level
         # resource scaling above
@@ -144,11 +146,11 @@ def main() -> int:
     ap.add_argument("--n4", type=int, default=8, help="large level cores (4N)")
     ap.add_argument(
         "--resources",
-        choices=["scaled", "flat"],
+        choices=["scaled", "flat", "heap"],
         default="scaled",
-        help="scaled = heap and scratch disk scale with core count "
-        "(cluster-faithful); flat = identical heap + shared disk at both "
-        "levels (harness-robustness check)",
+        help="scaled = heap and scratch disk scale with core count; "
+        "flat = identical heap + shared disk at both levels (primary "
+        "fused evidence); heap = scaled heap, shared disk (diagnostic)",
     )
     args = ap.parse_args()
 
@@ -159,9 +161,8 @@ def main() -> int:
     corpus = corpus_parquet(n_convs)
 
     ck = args.mode == "ckpt"
-    scaled = args.resources == "scaled"
-    r8 = run_level(args.n, corpus, args.trials, ck, scaled)
-    r32 = run_level(args.n4, corpus, args.trials, ck, scaled)
+    r8 = run_level(args.n, corpus, args.trials, ck, args.resources)
+    r32 = run_level(args.n4, corpus, args.trials, ck, args.resources)
     eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (args.n4 / args.n)
     summary = {
         "corpus_turns_approx": n_convs * 70,
@@ -195,7 +196,7 @@ trials):
 All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_walls']}
 (first value = discarded warm-up).
 """
-    suffix = "" if scaled else "_flat"
+    suffix = {"scaled": "", "flat": "_flat", "heap": "_heap"}[args.resources]
     out_md = os.path.join(
         REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}{suffix}.md"
     )
