@@ -246,3 +246,34 @@ def test_approx_distinct_error_bound(spark):
     for flag, row in exact.iterrows():
         rel = abs(got.loc[flag, "approx_parts"] - row["n"]) / row["n"]
         assert rel <= 0.10, (flag, rel)
+
+
+def test_simhash_signature_matches_naive_recompute(spark):
+    """The lane-packed SimHash aggregate (4 bit-counts per 64-bit lane,
+    dedup.simhash_df) claims bit-identical signatures to the obvious
+    formulation; pin it by recomputing every signature naively in pandas
+    from the SAME per-token xxhash64 values."""
+    import numpy as np
+
+    from kgpipe import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = dedup.simhash_df(docs).toPandas().set_index("id")["sig"]
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(dedup.tokens_col("text")).alias("t"),
+        )
+        .select("id", F.xxhash64("t").alias("h"))
+        .toPandas()
+    )
+    for doc_id, grp in tok.groupby("id"):
+        h = grp["h"].to_numpy().astype(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(h)  # +1/-1 votes
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        want = np.int64(np.uint64(sig)).item()  # two's-complement as Spark long
+        assert got.loc[doc_id] == want, doc_id
