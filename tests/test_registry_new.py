@@ -277,3 +277,27 @@ def test_simhash_signature_matches_naive_recompute(spark):
                 sig |= 1 << b
         want = np.int64(np.uint64(sig)).item()  # two's-complement as Spark long
         assert got.loc[doc_id] == want, doc_id
+
+
+def test_minhash_signature_matches_naive_recompute(spark):
+    """canon.minhash_signatures' grouped min-per-seed aggregation pinned
+    against a naive pandas recompute over the SAME per-(shingle, seed)
+    xxhash64 values (same style as the SimHash pin above)."""
+    from kgpipe import canon
+    from kgpipe.canon import shingles_col
+
+    surfaces = spark.createDataFrame(
+        [("ada lovelace",), ("rob larkspur",), ("x",)], "surface string"
+    )
+    got = canon.minhash_signatures(surfaces).toPandas().set_index("surface")
+    ex = surfaces.select(
+        "surface", F.explode(shingles_col("surface")).alias("sh")
+    )
+    hashed = ex.select(
+        "surface",
+        *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h_{i}") for i in range(32)],
+    ).toPandas()
+    want = hashed.groupby("surface").min()
+    for s in want.index:
+        for i in range(32):
+            assert got.loc[s, f"mh_{i}"] == want.loc[s, f"h_{i}"], (s, i)
