@@ -301,3 +301,39 @@ def test_minhash_signature_matches_naive_recompute(spark):
     for s in want.index:
         for i in range(32):
             assert got.loc[s, f"mh_{i}"] == want.loc[s, f"h_{i}"], (s, i)
+
+
+def test_multimodal_meta_values(spark):
+    """multimodal_media_meta is rows-only for the driver; pin its values
+    here: n_bytes == utf-8 byte length, checksum == zlib.crc32 of the
+    payload, and the stubbed feature vector is deterministic."""
+    import zlib
+
+    got = q("multimodal_media_meta")(spark, SF).toPandas().set_index("doc_id")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, row in docs.head(50).iterrows():
+        payload = row["text"].encode("utf-8")
+        assert got.loc[doc_id, "n_bytes"] == len(payload)
+        assert got.loc[doc_id, "checksum"] == zlib.crc32(payload)
+        n = float(len(payload))
+        assert got.loc[doc_id, "feature"][0] == n
+        assert got.loc[doc_id, "feature"][1] == float(sum(payload) % 65521)
+
+
+def test_sink_metrics_counts_match_stages(spark):
+    """sink_metrics is rows-only (partition ids are runtime state); pin
+    the deterministic part: per-stage partition counts sum to the stage's
+    total row count, and fingerprints are stable across the shared run."""
+    m = q("sink_metrics")(spark, SF).toPandas()
+    per_stage = m.groupby("stage").agg(
+        rows=("rows", "sum"), fps=("fingerprint", "nunique")
+    )
+    assert set(per_stage.index) == {"B_extract", "C_link", "D_canon", "E_triples"}
+    assert (per_stage["fps"] == 1).all()
+    total = q("triple_materialize")(spark, SF).count()
+    assert per_stage.loc["E_triples", "rows"] == total
