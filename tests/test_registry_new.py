@@ -337,3 +337,56 @@ def test_sink_metrics_counts_match_stages(spark):
     assert (per_stage["fps"] == 1).all()
     total = q("triple_materialize")(spark, SF).count()
     assert per_stage.loc["E_triples", "rows"] == total
+
+
+def test_mention_detect_spark_equals_local(spark):
+    """udf_mention_detect is rows-only for the driver (RE2 has no match
+    offsets or lookarounds); pin the full values here: the Spark pandas-UDF
+    path must equal an in-process run of the SAME matcher over the same
+    normalized text — surfaces, offsets, and types."""
+    import pandas as pd
+
+    from kgpipe import extract, rules
+
+    got = (
+        q("udf_mention_detect")(spark, SF)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "start"])
+        .reset_index(drop=True)
+    )
+    from kgpipe.kgqueries import corpus_dfs
+
+    dfs = corpus_dfs(spark, SF)
+    t = (
+        dfs["transcripts"]
+        .withColumn("text_norm", extract.normalize_text_col(F.col("text")))
+        .select("conv_id", "turn_idx", "text_norm")
+        .toPandas()
+    )
+    aliases = (
+        dfs["entity_dict"]
+        .select(F.explode("aliases").alias("a"), "etype")
+        .select(extract.normalize_text_col(F.col("a")).alias("n"), "etype")
+        .distinct()
+        .toPandas()
+    )
+    pat, type_of = rules.build_mention_matcher(
+        list(aliases["n"]), list(aliases["etype"])
+    )
+    rows = []
+    for _, r in t.iterrows():
+        for m in rules.detect_mentions_batch(
+            pd.Series([r["text_norm"]]), pat, type_of
+        )[0]:
+            rows.append(
+                (r["conv_id"], r["turn_idx"], m["surface"], m["start"],
+                 m["end"], m["mtype"])
+            )
+    want = (
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "surface",
+                                    "start", "end", "mtype"])
+        .sort_values(["conv_id", "turn_idx", "start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got.astype(str), want.astype(str))
