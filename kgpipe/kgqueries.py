@@ -26,7 +26,10 @@ Oracle-ability notes:
   positions), dedup_simhash / ann_lsh_topk (xxhash64-derived buckets),
   ann_ivf_topk (KMeans centers are engine-internal), agg_approx_distinct
   (HLL sketch values are engine-specific), multimodal_media_meta (decode
-  stubbed — no media libs in the sandbox).
+  stubbed — no media libs in the sandbox). Every one of these carries a
+  VALUE-level pytest pin instead (naive-recompute parity, recall floors,
+  error bounds, crc/offset equality — see tests/test_registry_new.py), so
+  "rows-only" describes only the driver's check, not the evidence.
 """
 
 from __future__ import annotations
