@@ -21,6 +21,30 @@ from .qreg import register
 _STAGED: dict[str, str] = {}
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def session_tz_utc(spark: SparkSession):
+    """Pin the session timezone to UTC for a scope. The windowed /
+    watermark oracles equate Spark's instant-space window alignment with
+    DuckDB's wall-clock date_trunc over the NTZ parquet values — an
+    identity that holds ONLY when NTZ walls are interpreted as UTC. Our
+    own session factory pins UTC, but registry entries run under the
+    DRIVER'S session, whose timezone is not ours to configure; scoping it
+    here makes the time-windowed streaming entries correct under any
+    harness timezone. (TIMESTAMP_NTZ event time would remove the issue
+    entirely, but watermarks reject NTZ in this Spark version —
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, verified.)"""
+    key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming file source over arriving event files. The source needs a
     directory (testdata ships one file); stage it once per sf into a temp
@@ -108,7 +132,14 @@ def stream_window_aggs(spark, sf):
     seconds (session tz pinned UTC; Spark 1h windows and DuckDB date_trunc
     both align to epoch hours) and the sum is the exact decimal fold of
     windowed_rates — both engines produce the same double bit pattern."""
-    out = run_available_now(windowed_rates(stream_events(spark, sf)), "winagg")
+    with session_tz_utc(spark):
+        # the tz-sensitive work (NTZ->LTZ cast, window alignment) runs and
+        # MATERIALIZES into the memory sink inside this scope
+        out = run_available_now(
+            windowed_rates(stream_events(spark, sf)), "winagg"
+        )
+    # post-scope projection is tz-free: unix_timestamp of a TIMESTAMP
+    # (instant) column extracts epoch seconds without consulting the tz
     return out.select(
         F.unix_timestamp("win_start").alias("win_start_s"),
         "event_type",
@@ -168,6 +199,8 @@ def stream_watermark_late(spark, sf):
     import os
     import shutil
 
+    ctx = session_tz_utc(spark)  # whole entry: staging casts + the drain
+    ctx.__enter__()
     static = spark.read.parquet(f"{sf_dir_events(sf)}").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -209,7 +242,10 @@ def stream_watermark_late(spark, sf):
         .agg(F.count("*").alias("n"))
         .select(F.unix_timestamp(F.col("w.start")).alias("win_start_s"), "n")
     )
-    return run_available_now_append(agg, "wmlate")
+    try:
+        return run_available_now_append(agg, "wmlate")
+    finally:
+        ctx.__exit__(None, None, None)
 
 
 def sf_dir_events(sf_dir: str) -> str:
