@@ -12,6 +12,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,9 +21,6 @@ from .qreg import register
 
 
 _STAGED: dict[str, str] = {}
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
