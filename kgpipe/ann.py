@@ -236,14 +236,24 @@ def ivf_topk(
     k: int = ANN_TOPK,
     n_centroids: int = 16,
     n_probe: int = 4,
+    fit_sample_rows: int = 256,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     vector to a centroid cell; each query probes only its n_probe nearest
     cells, so the scored candidate set is ~n_probe/n_centroids of the
     corpus. Centroids are tiny and live on the driver; the probe list is a
-    broadcast join key. At 100 TB: train on a sample, persist centroids as
-    a dim table, partition the corpus BY cell so a probe is a partition
-    pruning, not a shuffle."""
+    broadcast join key. At 100 TB: persist centroids as a dim table,
+    partition the corpus BY cell so a probe is a partition pruning, not a
+    shuffle.
+
+    The quantizer trains on a seeded SAMPLE (~fit_sample_rows rows), never
+    the full corpus: a coarse quantizer only needs cluster CENTERS, whose
+    estimate converges at O(1/sqrt(sample)) — scanning 100 TB through a
+    driver-coordinated iterative ML fit would dominate the whole query.
+    The default (256 rows, seeded) is deliberately below the sandbox
+    corpus size so the SAMPLED quantizer is the code path the registry
+    entry and the recall-vs-bruteforce pin actually exercise
+    (tests/test_registry_new.py), not a prod-only branch."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -252,9 +262,12 @@ def ivf_topk(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     )
+    n_rows = e.count()
+    frac = min(1.0, fit_sample_rows / max(n_rows, 1))
+    fit_set = e if frac >= 1.0 else e.sample(fraction=frac, seed=PLANE_SEED)
     model = KMeans(
         k=n_centroids, seed=PLANE_SEED, featuresCol="fv", predictionCol="cell"
-    ).fit(e)
+    ).fit(fit_set)
     assigned = model.transform(e).select("vec_id", "embedding", "cell")
     cents = np.array([c for c in model.clusterCenters()])
     qrows = embeddings.filter(F.col("vec_id").isin(*query_ids)).collect()

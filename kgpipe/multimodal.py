@@ -79,8 +79,23 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
 @register("multimodal_media_meta", sql=None)  # binary plumbing -> rows-only
 def multimodal_media_meta(spark, sf):
     # synthesize the binary column from text (no media files in sandbox);
-    # the downstream plumbing is exactly what a real image column would use
+    # the downstream plumbing is exactly what a real image column would use.
+    # The driver canonicalizes collected results via pandas hashing, which
+    # cannot hash a bare array<float> (round-2 'unhashable type: list'
+    # error) — so the registry entry surfaces the feature vector as a
+    # deterministic fixed-format string, exactly like scan_dict's
+    # aliases_str. Library users call extract_media_meta and keep the array.
     d = load(spark, sf, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return extract_media_meta(d)
+    out = extract_media_meta(d)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "media_type",
+        "checksum",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.3f", x.cast("double"))),
+            "|",
+        ).alias("feature_str"),
+    )

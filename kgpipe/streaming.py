@@ -192,59 +192,60 @@ def stream_watermark_late(spark, sf):
 
     Output = on-time rows in day windows the final watermark (hi - 1h) has
     closed; the cut-day window's count provably excludes the dropped
-    replay. The split points are integer-microsecond arithmetic
-    (lo + 3/4 span; hi - 30min), so the DuckDB twin reproduces the exact
-    micro-batch assignment and the entry carries a full value oracle."""
+    replay. The split points are integer-microsecond arithmetic end to end
+    (epoch micros collected via unix_micros, predicates rebuilt with
+    timestamp_micros) — the values never round-trip through driver-local
+    naive datetimes, so the DuckDB twin reproduces the exact micro-batch
+    assignment under any harness timezone, DST transitions included, and
+    the entry carries a full value oracle."""
     import os
     import shutil
 
-    ctx = session_tz_utc(spark)  # whole entry: staging casts + the drain
-    ctx.__enter__()
-    static = spark.read.parquet(f"{sf_dir_events(sf)}").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    from datetime import timedelta
+    # the WHOLE entry runs UTC-pinned: staging casts, split predicates and
+    # the drain — a with-block, so an exception anywhere in the staging
+    # cannot leak the timezone override into the shared driver session
+    with session_tz_utc(spark):
+        static = spark.read.parquet(f"{sf_dir_events(sf)}").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        lo_us, hi_us = static.select(
+            F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        ).first()
+        cut = F.timestamp_micros(F.lit(lo_us + (hi_us - lo_us) * 3 // 4))
+        tail = F.timestamp_micros(F.lit(hi_us - 30 * 60 * 1_000_000))
+        d = tempfile.mkdtemp(prefix="wm_src_")
+        parts = [
+            ("b0", (F.col("ts") >= cut) & (F.col("ts") < tail)),
+            ("b1", F.col("ts") >= tail),
+            ("b2", F.col("ts") < cut),
+        ]
+        for sub, pred in parts:
+            static.filter(pred).coalesce(1).write.parquet(f"{d}/{sub}")
+        stage = tempfile.mkdtemp(prefix="wm_in_")
+        import time
 
-    lo, hi = static.select(F.min("ts"), F.max("ts")).first()
-    span_us = (hi - lo) // timedelta(microseconds=1)
-    cut = lo + timedelta(microseconds=span_us * 3 // 4)
-    tail = hi - timedelta(minutes=30)
-    d = tempfile.mkdtemp(prefix="wm_src_")
-    parts = [
-        ("b0", (F.col("ts") >= F.lit(cut)) & (F.col("ts") < F.lit(tail))),
-        ("b1", F.col("ts") >= F.lit(tail)),
-        ("b2", F.col("ts") < F.lit(cut)),
-    ]
-    for sub, pred in parts:
-        static.filter(pred).coalesce(1).write.parquet(f"{d}/{sub}")
-    stage = tempfile.mkdtemp(prefix="wm_in_")
-    import time
-
-    now = time.time()
-    for i, (sub, _) in enumerate(parts):
-        src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
-        dst = f"{stage}/{i}_{sub}.parquet"
-        shutil.copy(f"{d}/{sub}/{src}", dst)
-        # FileStreamSource orders the backlog by modification time; copies
-        # can land within the same clock tick, so pin strictly increasing
-        # mtimes to make micro-batch order (newest data first) deterministic
-        os.utime(dst, (now + i, now + i))
-    s = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    agg = (
-        s.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(F.unix_timestamp(F.col("w.start")).alias("win_start_s"), "n")
-    )
-    try:
+        now = time.time()
+        for i, (sub, _) in enumerate(parts):
+            src = next(f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet"))
+            dst = f"{stage}/{i}_{sub}.parquet"
+            shutil.copy(f"{d}/{sub}/{src}", dst)
+            # FileStreamSource orders the backlog by modification time; copies
+            # can land within the same clock tick, so pin strictly increasing
+            # mtimes to make micro-batch order (newest data first) deterministic
+            os.utime(dst, (now + i, now + i))
+        s = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start_s"), "n")
+        )
         return run_available_now_append(agg, "wmlate")
-    finally:
-        ctx.__exit__(None, None, None)
 
 
 def sf_dir_events(sf_dir: str) -> str:
@@ -337,8 +338,23 @@ def stream_stateful_dedup(spark, sf):
     (per-partition first — not a row property), so the entry returns the
     deterministic part of the contract: exactly one output row per
     distinct live key. That invariant is the value oracle; survivor choice
-    stays engine-internal."""
+    stays engine-internal.
+
+    ORACLE SCOPE: 'one row per distinct key' is guaranteed here ONLY
+    because stream_events stages the whole backlog as a single file ==
+    a single micro-batch. Across multiple micro-batches,
+    dropDuplicatesWithinWatermark may legitimately re-emit a key whose
+    state aged past the 2h watermark — the DISTINCT oracle would then
+    under-count. The single-file staging is asserted below so a future
+    multi-file staging change breaks loudly, not silently."""
+    import os
+
     s = stream_events(spark, sf).withWatermark("ts", "2 hours")
+    n_files = len([f for f in os.listdir(_STAGED[sf]) if f.endswith(".parquet")])
+    assert n_files == 1, (
+        f"stream_stateful_dedup's DISTINCT oracle requires a "
+        f"single-micro-batch backlog; staged dir has {n_files} files"
+    )
     dedup = s.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )

@@ -306,8 +306,13 @@ def test_minhash_signature_matches_naive_recompute(spark):
 def test_multimodal_meta_values(spark):
     """multimodal_media_meta is rows-only for the driver; pin its values
     here: n_bytes == utf-8 byte length, checksum == zlib.crc32 of the
-    payload, and the stubbed feature vector is deterministic."""
+    payload, and the stubbed feature vector — serialized to feature_str in
+    the registry entry so the driver's pandas canonicalizer can hash the
+    row (a bare array<float> crashed it in round 2) — is deterministic.
+    The underlying array path is pinned separately via extract_media_meta."""
     import zlib
+
+    from kgpipe.multimodal import extract_media_meta
 
     got = q("multimodal_media_meta")(spark, SF).toPandas().set_index("doc_id")
     docs = (
@@ -321,8 +326,21 @@ def test_multimodal_meta_values(spark):
         assert got.loc[doc_id, "n_bytes"] == len(payload)
         assert got.loc[doc_id, "checksum"] == zlib.crc32(payload)
         n = float(len(payload))
-        assert got.loc[doc_id, "feature"][0] == n
-        assert got.loc[doc_id, "feature"][1] == float(sum(payload) % 65521)
+        fparts = got.loc[doc_id, "feature_str"].split("|")
+        assert len(fparts) == 4
+        assert float(fparts[0]) == n
+        assert float(fparts[1]) == float(sum(payload) % 65521)
+    # the library function still returns the typed array<float> column
+    lib = (
+        extract_media_meta(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+            )
+        )
+        .limit(5)
+        .toPandas()
+    )
+    assert all(len(v) == 4 for v in lib["feature"])
 
 
 def test_sink_metrics_counts_match_stages(spark):
