@@ -8,9 +8,14 @@ GraphFrames is absent in the sandbox (SURVEY.md §0.5), so connected
 components is the iterative-join min-label-propagation variant with
 per-round localCheckpoint to truncate lineage.
 
-Everything up to the pair list is Spark-builtin expressions (xxhash64 based
-MinHash — JVM-side, deterministic, whole-stage-codegen friendly); zero
-Python on this path.
+Everything up to the pair list is Spark-builtin expressions (engine-neutral
+md5-prefix MinHash, kgpipe/nhash.py — JVM-side, deterministic,
+whole-stage-codegen friendly); zero Python on this path. The hash family
+was switched from xxhash64 to the md5-affine scheme in round 3 so the
+signature values themselves are reproducible by an external SQL engine
+(the DuckDB oracle) — one md5 per shingle fans out to all hash functions
+via integer multiply-adds, so the swap is performance-neutral (measured;
+see kgqueries.py oracle-ability header).
 """
 
 from __future__ import annotations
@@ -18,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import nhash
 from .rules import JACCARD_THRESHOLD, LSH_BANDS, MINHASH_HASHES, SHINGLE_K
+
+# one affine (A, B) pair per MinHash function, fixed-seed deterministic;
+# the SAME literals are embedded in the oracle SQL (kgqueries.py)
+MH_AFFINE = nhash.affine_params(MINHASH_HASHES)
 
 
 def shingles_col(col: str, k: int = SHINGLE_K):
@@ -35,30 +45,35 @@ def shingles_col(col: str, k: int = SHINGLE_K):
 def minhash_signatures(surfaces: DataFrame, n_hashes: int = MINHASH_HASHES) -> DataFrame:
     """surfaces[surface] -> one row per surface with mh_0..mh_{n-1}.
 
-    MinHash_i(s) = min over shingles of xxhash64(i, shingle): JVM xxhash64
-    seeded by a literal per hash function — deterministic across runs and
-    cluster sizes (never Python hash()).
-    """
+    MinHash_i(s) = min over shingles of (A_i * baseP(shingle) + B_i) % P —
+    ONE engine-neutral md5-prefix base hash per shingle, fanned out to all
+    n hash functions by modular affine permutations (classic universal-
+    hashing MinHash). All builtins, deterministic across runs and cluster
+    sizes (never Python hash()), and value-reproducible in the DuckDB
+    oracle (kgpipe/nhash.py)."""
     ex = surfaces.select(
         "surface", F.explode(shingles_col("surface")).alias("sh")
-    )
+    ).select("surface", nhash.basep_col(F.col("sh")).alias("hb"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
-        for i in range(n_hashes)
+        F.min(nhash.affine_col(F.col("hb"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MH_AFFINE[:n_hashes])
     ]
     return ex.groupBy("surface").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = MINHASH_HASHES, bands: int = LSH_BANDS) -> DataFrame:
-    """Reshape signature to (surface, band_id, band_hash) rows."""
+    """Reshape signature to (surface, band_id, band_hash) rows. With 2 rows
+    per band the band key is the INJECTIVE pairing mh1 * P + mh2 (< 2^62)
+    — no hash, no collisions, reproducible in SQL."""
     rows = n_hashes // bands
+    assert rows == 2, "injective band pairing assumes 2 rows per band"
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
-                    "band_hash"
-                ),
+                nhash.band_key_col(
+                    F.col(f"mh_{b * rows}"), F.col(f"mh_{b * rows + 1}")
+                ).alias("band_hash"),
             )
             for b in range(bands)
         ]

@@ -5,7 +5,15 @@ The reference's dedup capability is pairwise creator-name comparison
 100 TB corpus pipeline needs: exact hash dedup, MinHash+LSH banding,
 SimHash hamming buckets, n-gram Jaccard verification — all candidate
 generation via equi-joins on block keys, never O(n²) nested loops, and all
-hashing JVM-side (xxhash64) inside whole-stage codegen.
+hashing JVM-side inside whole-stage codegen.
+
+Hash policy (round 3, measured): operators whose OUTPUT exposes
+hash-derived values use the engine-neutral md5-prefix scheme
+(kgpipe/nhash.py) so the DuckDB oracle can reproduce them —
+simhash_df/dedup_simhash (upgraded to a full SQL value check; md5 vs
+xxhash64 measured neutral there, -3% median at sf0.1). doc_minhash_pairs
+keeps xxhash64: the md5 swap measured +26% median on the dedup headline
+(over the 15% budget) and its Jaccard-edge oracle never sees hash values.
 """
 
 from __future__ import annotations
@@ -13,12 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import nhash
 from .qreg import load, register
 
 WORD_NGRAM = 3
 DOC_MINHASH = 32
 DOC_BANDS = 16
 DOC_JACCARD = 0.5
+
+SIMHASH_BITS = 60  # md5-prefix base hash is 60 bits (15 hex digits)
+SIMHASH_BANDS = 4  # 4 x 15-bit bands; guaranteed recall at hamming <= 3
 
 
 def tokens_col(col: str) -> F.Column:
@@ -64,6 +76,14 @@ def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         .select("id", word_shingles_from_tokens("toks").alias("sh"))
         .persist()
     )
+    # Token hashing here stays xxhash64 DELIBERATELY (round-3 decision):
+    # this is the dedup headline's hot loop, and the engine-neutral
+    # md5-affine scheme measured +26% median wall at sf0.1 (interleaved
+    # A/B, median of 5: 1.31s -> 1.65s) — over the 15% budget. Nothing is
+    # lost: the dedup_minhash oracle is the all-pairs JACCARD edge set,
+    # which never looks at hash values, so the entry keeps its full value
+    # oracle either way. Operators that EXPOSE hash-derived values
+    # (canon.minhash_signatures, simhash_df) use nhash instead.
     ex = base.select("id", F.explode("sh").alias("s"))
     sig = ex.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh_{i}") for i in range(DOC_MINHASH)]
@@ -110,24 +130,29 @@ def doc_minhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document: per bit, sum +1/-1 over token-hash bits;
+    """60-bit SimHash per document: per bit, sum +1/-1 over token-hash bits;
     bit set iff the sum is positive. Shape: explode tokens -> hash ONCE per
     token -> ONE codegen'd HashAggregate (map-side partial agg, so the
     shuffle carries a handful of longs per doc, not the tokens).
 
+    The token hash is the engine-neutral 60-bit md5 prefix (nhash.py), so
+    the signature — and everything derived from it — is bit-identical in
+    the DuckDB oracle. 60 bits instead of xxhash64's 64 costs nothing
+    measurable in near-dup discrimination (hamming radius 6 of 60 vs 64).
+
     The per-bit counts are SIMD-style lane-packed: 4 bit-counts per 64-bit
     sum in 16-bit lanes (documents are <= 5000 chars, so each count fits
-    comfortably), i.e. 16 aggregate buffers instead of 64 — measured 1.8x
+    comfortably), i.e. 15 aggregate buffers instead of 60 — measured 1.8x
     faster, bit-identical signatures. Earlier history: a higher-order-
-    function formulation (64 F.aggregate passes, each rehashing every token
-    in the interpreted lambda) was ~20x slower than even the 64-buffer agg.
-    Branch-free vote test: the +1/-1 vote sum is 2*bits_i - n, so
-    "sum positive" == "2*bits_i > n"."""
+    function formulation (one F.aggregate pass per bit, each rehashing
+    every token in the interpreted lambda) was ~20x slower than even the
+    unpacked agg. Branch-free vote test: the +1/-1 vote sum is
+    2*bits_i - n, so "sum positive" == "2*bits_i > n"."""
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("t")
-    ).select("id", F.xxhash64("t").alias("h"))
+    ).select("id", nhash.base60_col(F.col("t")).alias("h"))
     lanes = []
-    for j in range(16):
+    for j in range(SIMHASH_BITS // 4):
         expr = None
         for k in range(4):
             bit = F.shiftright("h", 4 * j + k).bitwiseAND(F.lit(1)).cast("long")
@@ -136,7 +161,7 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lanes.append(F.sum(expr).alias(f"p_{j}"))
     sums = toks.groupBy("id").agg(F.count("*").alias("n"), *lanes)
     sig = F.lit(0).cast("long")
-    for j in range(16):
+    for j in range(SIMHASH_BITS // 4):
         for k in range(4):
             cnt = F.shiftright(F.col(f"p_{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
             sig = sig.bitwiseOR(
@@ -220,10 +245,47 @@ def dedup_minhash(spark, sf):
     )
 
 
-@register("dedup_simhash", sql=None)
+# full SQL twin of the SimHash operator: same tokenization, same 60-bit
+# md5-prefix token hash, same majority-vote bit rule, same 4x15-bit band
+# candidate join, same hamming<=6 verify — an EXACT value oracle, not an
+# all-pairs approximation (banding at radius 6 > the guaranteed-recall
+# radius 3 could legitimately miss a pair; the oracle bands identically so
+# it can never disagree).
+_SIMHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         STRING_SPLIT(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS wt
+  FROM documents),
+tok AS (SELECT doc_id, UNNEST(wt) AS t FROM w),
+h AS (SELECT doc_id, {nhash.base60_sql("t")} AS h FROM tok),
+votes AS (
+  SELECT doc_id, b.bit, SUM((h >> b.bit) & 1) AS ones, COUNT(*) AS n
+  FROM h, (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BITS - 1})) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ones * 2 > n
+                  THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sig
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, g.band_id,
+         (sig >> (15 * g.band_id)) & 32767 AS band_key
+  FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, {SIMHASH_BANDS - 1})) AS band_id) g)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+FROM bands x JOIN bands y
+  ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 6
+"""
+
+
+@register("dedup_simhash", sql=_SIMHASH_SQL)
 def dedup_simhash(spark, sf):
-    """SimHash near-dup candidates: 4x16-bit bands of the 64-bit signature
-    as bucket keys; pairs verified by hamming distance <= 6 via bit_count."""
+    """SimHash near-dup candidates: 4x15-bit bands of the 60-bit signature
+    as bucket keys; pairs verified by hamming distance <= 6 via bit_count.
+    Carries a FULL value oracle since round 3: the md5-prefix token hash
+    (nhash.py) makes signatures, band keys and hamming distances
+    engine-neutral, so the DuckDB twin replays the exact algorithm."""
     docs = simhash_df(load(spark, sf, "documents"))
     bands = docs.select(
         "id",
@@ -233,11 +295,11 @@ def dedup_simhash(spark, sf):
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftright("sig", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("sig", b * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("band_key"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bd"),

@@ -18,18 +18,31 @@ Oracle-ability notes:
   (tests/test_oracle_parity.py P/R == 1.0 gate), so the two edge sets
   agree here. On adversarial data LSH is probabilistic — that recall gap
   is the documented approximation, not a bug.
-- The rows-only remainder, each for a structural reason: agg_minhash_sig
-  (xxhash64 — no DuckDB twin), sink_metrics / sink_checkpoint (values are
-  runtime partition/manifest state, not row properties),
-  udf_mention_detect (emits character OFFSETS from longest-first
-  non-overlapping finditer — DuckDB regex functions return matches, not
-  positions), dedup_simhash / ann_lsh_topk (xxhash64-derived buckets),
-  ann_ivf_topk (KMeans centers are engine-internal), agg_approx_distinct
-  (HLL sketch values are engine-specific), multimodal_media_meta (decode
-  stubbed — no media libs in the sandbox). Every one of these carries a
-  VALUE-level pytest pin instead (naive-recompute parity, recall floors,
-  error bounds, crc/offset equality — see tests/test_registry_new.py), so
-  "rows-only" describes only the driver's check, not the evidence.
+- Round 3 moved every operator that EXPOSES hash-derived values to the
+  engine-neutral md5-prefix scheme (kgpipe/nhash.py): one md5 base hash
+  per token/shingle, fanned out by modular affine permutations. That
+  upgraded agg_minhash_sig and dedup_simhash from rows-only to FULL value
+  oracles. Disclosed cost (sf0.1, local[32], idle box, interleaved A/B,
+  median of 5): simhash 2.91s -> 2.82s (neutral); canon minhash operates
+  on small surface sets (negligible). doc_minhash_pairs measured +26%
+  (1.31s -> 1.65s) under the same swap — over the 15% budget — so the
+  dedup-headline MinHash KEEPS xxhash64; its oracle is the all-pairs
+  Jaccard edge set, which never sees hash values, so nothing was lost.
+  Full numbers in BENCH/BASELINE.md §hash-neutrality.
+- The rows-only remainder, each for a structural reason: sink_metrics /
+  sink_checkpoint (values are runtime partition/manifest state, not row
+  properties), udf_mention_detect (emits character OFFSETS from
+  longest-first non-overlapping finditer — DuckDB regex functions return
+  matches, not positions), ann_lsh_topk (random-hyperplane sign buckets
+  from a worker-side numpy plane matrix — engine-internal), ann_ivf_topk
+  (KMeans centers are engine-internal), agg_approx_distinct (HLL sketch
+  values are engine-specific), multimodal_media_meta (decode stubbed — no
+  media libs in the sandbox; since round 3 the entry serializes its
+  feature vector to a string so the driver CAN at least canonicalize and
+  row-count it). Every one of these carries a VALUE-level pytest pin
+  instead (naive-recompute parity, recall floors, error bounds, crc/offset
+  equality — see tests/test_registry_new.py), so "rows-only" describes
+  only the driver's check, not the evidence.
 """
 
 from __future__ import annotations
@@ -42,7 +55,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import canon, extract, io_tables, link, pipeline, synth
+from . import canon, extract, io_tables, link, nhash, pipeline, synth
 from .qreg import register
 from .rules import RULES
 
@@ -399,7 +412,27 @@ def canon_rewrite(spark, sf):
     return out
 
 
-@register("agg_minhash_sig", sql=None)  # xxhash64 not expressible in DuckDB
+# the oracle replays the exact MinHash definition: md5-prefix base hash per
+# char-shingle, the SAME fixed-seed affine (A_i, B_i) literals as the Spark
+# plan (canon.MH_AFFINE), min per hash function — full value parity since
+# the round-3 switch to engine-neutral hashing (kgpipe/nhash.py)
+_MINHASH_SIG_COLS = ",\n       ".join(
+    f"MIN({nhash.affine_sql('hb', a, b)}) AS mh_{i}"
+    for i, (a, b) in enumerate(canon.MH_AFFINE)
+)
+
+
+@register(
+    "agg_minhash_sig",
+    sql=_kg_sql(
+        f"""SELECT surface, {_MINHASH_SIG_COLS}
+    FROM (SELECT surface, {nhash.basep_sql('g')} AS hb
+          FROM (SELECT surface, UNNEST({_SHINGLES.format(s='surface')}) AS g
+                FROM (SELECT DISTINCT subj_raw AS surface FROM raw
+                      WHERE subj_kind = 'surface')))
+    GROUP BY surface"""
+    ),
+)
 def agg_minhash_sig(spark, sf):
     d = corpus_dfs(spark, sf)
     raw = extract.stage_extract(d["transcripts"], d["entity_dict"])

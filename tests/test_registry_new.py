@@ -251,56 +251,46 @@ def test_approx_distinct_error_bound(spark):
 def test_simhash_signature_matches_naive_recompute(spark):
     """The lane-packed SimHash aggregate (4 bit-counts per 64-bit lane,
     dedup.simhash_df) claims bit-identical signatures to the obvious
-    formulation; pin it by recomputing every signature naively in pandas
-    from the SAME per-token xxhash64 values."""
-    import numpy as np
+    formulation; pin it by recomputing every signature naively in PURE
+    PYTHON (hashlib md5 — no Spark, no DuckDB), which also pins the
+    engine-neutral token hash itself across a third implementation."""
+    import re
 
-    from kgpipe import dedup
+    from kgpipe import dedup, nhash
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = dedup.simhash_df(docs).toPandas().set_index("id")["sig"]
-    tok = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(dedup.tokens_col("text")).alias("t"),
-        )
-        .select("id", F.xxhash64("t").alias("h"))
-        .toPandas()
-    )
-    for doc_id, grp in tok.groupby("id"):
-        h = grp["h"].to_numpy().astype(np.uint64)
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(h)  # +1/-1 votes
+    pdf = docs.select("doc_id", "text").toPandas()
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        hs = [nhash.base60_py(t) for t in toks]
         sig = 0
-        for b in range(64):
-            if votes[b] > 0:
+        for b in range(dedup.SIMHASH_BITS):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 > len(hs):
                 sig |= 1 << b
-        want = np.int64(np.uint64(sig)).item()  # two's-complement as Spark long
-        assert got.loc[doc_id] == want, doc_id
+        assert got.loc[doc_id] == sig, doc_id
 
 
 def test_minhash_signature_matches_naive_recompute(spark):
-    """canon.minhash_signatures' grouped min-per-seed aggregation pinned
-    against a naive pandas recompute over the SAME per-(shingle, seed)
-    xxhash64 values (same style as the SimHash pin above)."""
-    from kgpipe import canon
-    from kgpipe.canon import shingles_col
+    """canon.minhash_signatures' grouped min-per-hash aggregation pinned
+    against a PURE-PYTHON recompute (hashlib md5 + the same affine
+    literals, nhash.minhash_py) — a third engine for the value parity the
+    DuckDB oracle also checks."""
+    from kgpipe import canon, nhash, rules
 
-    surfaces = spark.createDataFrame(
-        [("ada lovelace",), ("rob larkspur",), ("x",)], "surface string"
-    )
+    vals = ["ada lovelace", "rob larkspur", "x"]
+    surfaces = spark.createDataFrame([(v,) for v in vals], "surface string")
     got = canon.minhash_signatures(surfaces).toPandas().set_index("surface")
-    ex = surfaces.select(
-        "surface", F.explode(shingles_col("surface")).alias("sh")
-    )
-    hashed = ex.select(
-        "surface",
-        *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h_{i}") for i in range(32)],
-    ).toPandas()
-    want = hashed.groupby("surface").min()
-    for s in want.index:
-        for i in range(32):
-            assert got.loc[s, f"mh_{i}"] == want.loc[s, f"h_{i}"], (s, i)
+    for s in vals:
+        shingles = (
+            [s]
+            if len(s) < rules.SHINGLE_K
+            else sorted({s[i : i + rules.SHINGLE_K] for i in range(len(s) - rules.SHINGLE_K + 1)})
+        )
+        want = nhash.minhash_py(shingles, canon.MH_AFFINE)
+        for i, w in enumerate(want):
+            assert got.loc[s, f"mh_{i}"] == w, (s, i)
 
 
 def test_multimodal_meta_values(spark):
