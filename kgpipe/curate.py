@@ -19,12 +19,14 @@ from .qreg import load, register
 from .textstats import lang_best_col
 
 
-def curate(spark: SparkSession, sf: str) -> DataFrame:
-    # lang-ID and quality are per-row projections — computed INLINE on one
-    # scan (at 100 TB, joining the lang/quality query outputs back to the
-    # table would mean three scans and two doc_id shuffles for zero extra
-    # information; this way the whole gate is a single codegen stage)
-    docs = (
+def gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The lang-ID + quality gate. Per-row projections computed INLINE on
+    one scan (at 100 TB, joining the lang/quality query outputs back to
+    the table would mean three scans and two doc_id shuffles for zero
+    extra information; this way the whole gate is a single codegen stage).
+    Plan-pinned: tests/test_plans.py asserts exactly one parquet scan,
+    zero Exchanges, and a whole-stage-codegen span over the gate."""
+    return (
         load(spark, sf, "documents")
         .select(
             "doc_id",
@@ -38,6 +40,10 @@ def curate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("n_chars")
     )
+
+
+def curate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = gate(spark, sf)
 
     # exact dedup: keep the min doc_id per normalized text
     winners = docs.groupBy(F.lower(F.trim("text")).alias("k")).agg(

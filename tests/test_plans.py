@@ -132,3 +132,18 @@ def test_cc_iterative_plan_stays_constant(spark, monkeypatch):
     assert len(p_long.splitlines()) == len(p_short.splitlines())
     # and the result really is a lineage-truncated scan, not the join DAG
     assert "Join" not in p_long and "Scan ExistingRDD" in p_long
+
+
+def test_corpus_curation_gate_is_single_scan(spark):
+    """The curation gate (lang-ID + quality filters) must ride ONE parquet
+    scan as inline projections: no Exchange, no second scan, one
+    whole-stage-codegen span. The alternative formulation — running the
+    lang and quality queries separately and joining their outputs back —
+    costs three scans and two doc_id shuffles at 100 TB for the same
+    rows."""
+    from kgpipe import curate
+
+    plan = plan_of(curate.gate(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # the gate is codegen-compiled

@@ -85,6 +85,55 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
 }
 
 
+def _cc_loop_plan(spark):
+    """cc_iterate with the iterative-join loop path FORCED (driver fast
+    path disabled), on a diameter-16 chain — the plan test
+    (tests/test_plans.py::test_cc_iterative_plan_stays_constant) pins that
+    this plan has the SAME line count as the 2-round case; this dump shows
+    what that O(1) plan is: a lineage-truncated checkpoint scan, no nested
+    join DAG."""
+    from kgpipe import canon
+
+    saved = canon.DRIVER_CC_MAX_EDGES
+    canon.DRIVER_CC_MAX_EDGES = 0
+    try:
+        edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(16)]
+        return canon.connected_components(
+            spark.createDataFrame(edges, "a string, b string")
+        )
+    finally:
+        canon.DRIVER_CC_MAX_EDGES = saved
+
+
+def _curate_gate_plan(spark):
+    """corpus_curation's lang+quality gate: per-row projections inline on
+    ONE parquet scan (asserted: single scan node, zero Exchange, codegen
+    span) — the join-back formulation would scan three times and shuffle
+    twice for the same rows."""
+    from kgpipe import curate
+
+    return curate.gate(spark, SF)
+
+
+# name -> (builder, markers, why): plans whose interesting shape needs a
+# constructed input (loop path forced, sub-stage isolated) instead of the
+# registry entry at sf0.001
+SPECIAL: dict = {
+    "cc_iterate (forced loop path, diameter 16)": (
+        _cc_loop_plan,
+        ["!Join", "Scan ExistingRDD"],
+        "per-round localCheckpoint truncates lineage: the label frame's "
+        "executed plan is a constant-size checkpoint scan no matter how "
+        "many propagation rounds ran",
+    ),
+    "corpus_curation gate (lang+quality)": (
+        _curate_gate_plan,
+        ["Scan parquet", "!Exchange", "*(1)"],
+        "single-scan inline gate — no join-back, no shuffle before dedup",
+    ),
+}
+
+
 def main() -> int:
     import __spark_entry__ as E
     from kgpipe.session import get_spark
@@ -100,8 +149,11 @@ def main() -> int:
     print("them, at sf0.001. A missing marker prints **MISSING** — treat as")
     print("a regression.")
     failures = []
-    for name, (markers, why) in EXPECTATIONS.items():
-        df = qs[name](spark, SF)
+    todo = [(n, qs[n], m, w) for n, (m, w) in EXPECTATIONS.items()] + [
+        (n, b, m, w) for n, (b, m, w) in SPECIAL.items()
+    ]
+    for name, build, markers, why in todo:
+        df = build(spark, SF) if name in EXPECTATIONS else build(spark)
         # execute first via the DataFrame's OWN query execution (collect —
         # a write wraps the plan in a separate execution and the original
         # AQE plan never finalizes): join strategy picks and codegen spans
