@@ -37,6 +37,7 @@ from kgpipe.session import get_spark
 
 cores = {cores}
 corpus = {corpus!r}
+warm_corpus = {warm_corpus!r}  # trial 0 (discarded) runs here; same code paths
 scaled = {scaled!r} == "scaled"  # tmpfs scratch only in full scaled mode
 # resource-scaled mode: shuffle + stage sinks on tmpfs (a real N-node
 # cluster has N nodes' worth of local disk; one shared root disk caps the
@@ -58,12 +59,13 @@ spark = get_spark(
     extra_conf=extra,
 )
 spark.sparkContext.setLogLevel("ERROR")
-t = spark.read.schema(schemas.TRANSCRIPTS).parquet(corpus + "/transcripts.parquet")
-e = spark.read.schema(schemas.ENTITY_DICT).parquet(corpus + "/entity_dict.parquet")
 
 walls = []
 stage_ms = None
 for trial in range({trials} + 1):  # trial 0 = warm-up
+    src = warm_corpus if trial == 0 else corpus
+    t = spark.read.schema(schemas.TRANSCRIPTS).parquet(src + "/transcripts.parquet")
+    e = spark.read.schema(schemas.ENTITY_DICT).parquet(src + "/entity_dict.parquet")
     t0 = time.time()
     cfg = pipeline.PipelineConfig(
         work_dir=tempfile.mkdtemp(prefix=f"scale{{cores}}_{{trial}}_", dir=shm),
@@ -87,12 +89,14 @@ print("RESULT " + json.dumps({{"cores": cores, "wall_s": round(best, 2),
 
 
 def run_level(
-    cores: int, corpus: str, trials: int, checkpoints: bool, resources: str
+    cores: int, corpus: str, trials: int, checkpoints: bool, resources: str,
+    warm_corpus: str | None = None,
 ) -> dict:
     code = CHILD.format(
         repo=REPO,
         cores=cores,
         corpus=corpus,
+        warm_corpus=warm_corpus or corpus,
         trials=trials,
         checkpoints=checkpoints,
         scaled=resources,
@@ -122,7 +126,7 @@ def run_level(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=7200,
         env=env,
     )
     for line in out.stdout.splitlines():
@@ -152,6 +156,15 @@ def main() -> int:
         "flat = identical heap + shared disk at both levels (primary "
         "fused evidence); heap = scaled heap, shared disk (diagnostic)",
     )
+    ap.add_argument(
+        "--warm-turns",
+        type=int,
+        default=None,
+        help="warm the JVM (discarded trial 0) on a smaller corpus of this "
+        "many turns instead of the full one — same code paths, so JIT/"
+        "codegen/Python workers still warm, but a 64M-turn level does not "
+        "pay a full discarded pass (~1h at local[2])",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -159,11 +172,21 @@ def main() -> int:
 
     n_convs = max(200, args.turns // 70)
     corpus = corpus_parquet(n_convs)
+    warm = (
+        corpus_parquet(max(200, args.warm_turns // 70))
+        if args.warm_turns
+        else None
+    )
 
     ck = args.mode == "ckpt"
-    r8 = run_level(args.n, corpus, args.trials, ck, args.resources)
-    r32 = run_level(args.n4, corpus, args.trials, ck, args.resources)
+    r8 = run_level(args.n, corpus, args.trials, ck, args.resources, warm)
+    r32 = run_level(args.n4, corpus, args.trials, ck, args.resources, warm)
     eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / (args.n4 / args.n)
+    warm_note = (
+        f" on a {args.warm_turns:,}-turn corpus, same code paths"
+        if args.warm_turns
+        else ""
+    )
     summary = {
         "corpus_turns_approx": n_convs * 70,
         "resources": args.resources,
@@ -194,11 +217,15 @@ trials):
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 
 All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_walls']}
-(first value = discarded warm-up).
+(first value = discarded warm-up{warm_note}).
 """
     suffix = {"scaled": "", "flat": "_flat", "heap": "_heap"}[args.resources]
+    # corpus size in the name so a 64M-turn run cannot clobber the 16M
+    # evidence file (pre-round-3 files carry no size suffix = 16M or as
+    # stated inside)
+    size = f"_{args.turns / 1_000_000:g}M"
     out_md = os.path.join(
-        REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}{suffix}.md"
+        REPO, "BENCH", f"scaling_{args.n}v{args.n4}_{args.mode}{suffix}{size}.md"
     )
     with open(out_md, "w") as f:
         f.write(md)
