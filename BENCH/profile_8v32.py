@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 cores = {cores}
 corpus = {corpus!r}
 trials = {trials}
+only = {only!r}  # job-name filter; empty = all
 shm = f"/dev/shm/kgprof_{{cores}}"
 _os.makedirs(shm, exist_ok=True)
 spark = get_spark(
@@ -90,6 +91,8 @@ JOBS = [
 
 out = {{}}
 for name, fn, conf in JOBS:
+    if only and name not in only:
+        continue
     saved = {{k: spark.conf.get(k, None) for k in conf}}
     for k, v in conf.items():
         spark.conf.set(k, v)
@@ -107,8 +110,8 @@ print("RESULT " + json.dumps({{"cores": cores, "jobs": out}}))
 """
 
 
-def run_level(cores: int, corpus: str, trials: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, trials=trials)
+def run_level(cores: int, corpus: str, trials: int, only: list) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, trials=trials, only=only)
     env = dict(os.environ)
     env["KGPIPE_DRIVER_MEM"] = f"{min(3 * cores, 48)}g"
     out = subprocess.run(
@@ -130,6 +133,10 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=1)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument(
+        "--jobs", default="",
+        help="comma-separated job-name filter (default: all jobs)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -138,12 +145,13 @@ def main() -> int:
     n_convs = max(200, args.turns // 70)
     corpus = corpus_parquet(n_convs)
 
-    lo = run_level(args.n, corpus, args.trials)
-    hi = run_level(args.n4, corpus, args.trials)
+    only = [j for j in args.jobs.split(",") if j] if args.jobs else []
+    lo = run_level(args.n, corpus, args.trials, only)
+    hi = run_level(args.n4, corpus, args.trials, only)
 
     ratio = args.n4 / args.n
     lines = [
-        "# Stage-isolated profile of the 8->32 pair "
+        f"# Stage-isolated profile of the {args.n}->{args.n4} pair "
         f"(~{n_convs * 70:,} turns, trials={args.trials}, "
         "protocol = run_scaling.py scaled mode)",
         "",
@@ -170,7 +178,10 @@ def main() -> int:
     for lev, r in ((args.n, lo), (args.n4, hi)):
         for name, j in r["jobs"].items():
             lines.append(f"- local[{lev}] {name}: {j['all_walls']} rows={j['rows']}")
-    with open(os.path.join(REPO, "BENCH", "profile_8v32.md"), "w") as f:
+    out_name = f"profile_{args.n}v{args.n4}_{args.turns / 1_000_000:g}M.md" \
+        if (args.n, args.n4, args.turns) != (8, 32, 16_000_000) \
+        else "profile_8v32.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(lines) + "\n")
     return 0
 
