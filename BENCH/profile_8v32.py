@@ -69,6 +69,35 @@ def extract_py():
     return extract.stage_extract(t, None).count()
 
 
+def publish_shape():
+    # Stage E in isolation: bucket-key repartition -> hash-aggregate
+    # distinct -> sha256 lineage id -> partitioned parquet write. Input is
+    # a cheap projection of the corpus (no extraction) at ~1 row/turn, so
+    # the probe times the publish machinery, not Stage B.
+    import tempfile, shutil
+    d = (
+        t.select(
+            F.concat(F.lit("e:"), F.col("conv_id")).alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.substring(F.col("text"), 1, 40).alias("obj"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+        )
+        .withColumn("part_key", F.pmod(F.xxhash64("subj"), F.lit(128)).cast("int"))
+        .repartition(min(128, 2 * cores), "part_key")
+        .distinct()
+        .withColumn(
+            "lineage_id",
+            F.sha2(F.concat_ws("\x1f", "subj", "pred", "obj", "conv_id", "turn_idx"), 256),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="pubshape_", dir=shm)
+    d.write.partitionBy("part_key").mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return n
+
+
 def shuffle_agg():
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     d = (
@@ -83,6 +112,7 @@ JOBS = [
     ("scan_jvm", scan_jvm, {{}}),
     ("extract_py", extract_py, {{}}),
     ("shuffle_agg", shuffle_agg, {{}}),
+    ("publish_shape", publish_shape, {{}}),
     ("extract_py_smallbatch", extract_py,
      {{"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"}}),
     ("extract_py_bigbatch", extract_py,

@@ -262,9 +262,12 @@ def ivf_topk(
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("fv"),
     )
-    n_rows = e.count()
-    frac = min(1.0, fit_sample_rows / max(n_rows, 1))
-    fit_set = e if frac >= 1.0 else e.sample(fraction=frac, seed=PLANE_SEED)
+    # fixed-size pseudo-random sample WITHOUT an exact count pass:
+    # hash-order + limit is one TakeOrdered scan (top-N per partition,
+    # N-row merge on the driver), deterministic under any partitioning —
+    # a fraction-based .sample would need a full count() first just to
+    # derive the fraction, i.e. an extra corpus scan per invocation.
+    fit_set = e.orderBy(F.xxhash64("vec_id")).limit(fit_sample_rows)
     model = KMeans(
         k=n_centroids, seed=PLANE_SEED, featuresCol="fv", predictionCol="cell"
     ).fit(fit_set)

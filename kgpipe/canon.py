@@ -250,13 +250,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
-def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Resolve unlinked surfaces to component representatives.
+def unlinked_surfaces(linked: DataFrame) -> DataFrame:
+    """Distinct surface strings Stage C could not link (subj or obj side).
 
-    Input: Stage C output (…, subj_raw/obj_raw, subj_kind/obj_kind,
-    subj_link/obj_link). Output: (triples with final subj/obj, cc_labels).
+    THE definition of Stage D's input population — shared by stage_canon
+    and the registry's stage cache (kgqueries._stage) so the driver
+    entries can never diverge from the pipeline; the DuckDB oracle's
+    `unl` CTE mirrors it in SQL.
     """
-    unlinked = (
+    return (
         linked.filter((F.col("subj_kind") == "surface") & F.col("subj_link").isNull())
         .select(F.col("subj_raw").alias("surface"))
         .unionByName(
@@ -265,8 +267,16 @@ def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).select(F.col("obj_raw").alias("surface"))
         )
         .distinct()
-        .persist()
     )
+
+
+def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Resolve unlinked surfaces to component representatives.
+
+    Input: Stage C output (…, subj_raw/obj_raw, subj_kind/obj_kind,
+    subj_link/obj_link). Output: (triples with final subj/obj, cc_labels).
+    """
+    unlinked = unlinked_surfaces(linked).persist()
     n_unl = unlinked.count()
     if n_unl <= DRIVER_ALLPAIRS_MAX_SURFACES:
         edges = _driver_allpairs_edges(unlinked)

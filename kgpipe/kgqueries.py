@@ -93,7 +93,7 @@ def corpus_dfs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
-# shared lazy stage cache. Five registry entries (udf_triple_extract,
+# shared lazy stage cache. Six registry entries (udf_triple_extract,
 # link_score, lsh_block, cc_iterate, canon_rewrite, agg_minhash_sig) expose
 # different facets of the same Stage B/C/D dataflow; without sharing, each
 # driver row re-runs extraction (the Arrow-UDF stage) from scratch. The
@@ -115,19 +115,7 @@ def _stage(spark: SparkSession, sf: str, which: str) -> DataFrame:
             df = link.stage_link(_stage(spark, sf, "raw"), d["entity_dict"])
         elif which == "pairs":
             linked = _stage(spark, sf, "linked")
-            unlinked = (
-                linked.filter(
-                    (F.col("subj_kind") == "surface") & F.col("subj_link").isNull()
-                )
-                .select(F.col("subj_raw").alias("surface"))
-                .unionByName(
-                    linked.filter(
-                        (F.col("obj_kind") == "surface") & F.col("obj_link").isNull()
-                    ).select(F.col("obj_raw").alias("surface"))
-                )
-                .distinct()
-            )
-            df = canon.candidate_pairs(unlinked)
+            df = canon.candidate_pairs(canon.unlinked_surfaces(linked))
         else:  # pragma: no cover - internal misuse
             raise ValueError(which)
         _STAGE_CACHE[key] = df.persist()

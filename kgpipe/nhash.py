@@ -10,9 +10,12 @@ terms both Spark and DuckDB evaluate identically:
   baseP(x)  = base60(x) % P                                 [0, P)
   mh_i(x)   = (A_i * baseP(x) + B_i) % P                    universal family
 
-P is the largest prime < 2^31, so every intermediate stays below
-2^62 + 2^31: no signed-64 wraparound in Spark and no overflow ERROR in
-DuckDB (which raises on BIGINT overflow instead of wrapping). The affine
+P is a prime just below 2^31 (2147483629 — NOT 2^31-1, which is also
+prime; the exact prime is arbitrary, only p < 2^31 and primality matter,
+and P is frozen because every recorded signature/oracle value depends on
+it), so every intermediate stays below 2^62 + 2^31: no signed-64
+wraparound in Spark and no overflow ERROR in DuckDB (which raises on
+BIGINT overflow instead of wrapping). The affine
 (A_i, B_i) pairs come from a fixed-seed PRNG, embedded as literals in both
 the Spark expressions and the oracle SQL text.
 
@@ -34,7 +37,8 @@ import random
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# largest prime below 2^31: keeps (A * h + B) < 2^62 + 2^31 in signed 64-bit
+# a prime below 2^31: keeps (A * h + B) < 2^62 + 2^31 in signed 64-bit.
+# FROZEN — changing it changes every recorded signature and oracle value.
 P = 2_147_483_629
 
 _SEED = 0x5EED_C0DE
