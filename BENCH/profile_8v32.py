@@ -69,13 +69,11 @@ def extract_py():
     return extract.stage_extract(t, None).count()
 
 
-def publish_shape():
-    # Stage E in isolation: bucket-key repartition -> hash-aggregate
-    # distinct -> sha256 lineage id -> partitioned parquet write. Input is
-    # a cheap projection of the corpus (no extraction) at ~1 row/turn, so
-    # the probe times the publish machinery, not Stage B.
-    import tempfile, shutil
-    d = (
+def _publish_df():
+    # Stage E's input shape without Stage B: cheap projection at ~1
+    # row/turn, bucket-key repartition -> hash-aggregate distinct ->
+    # sha256 lineage id, exactly the pipeline's publish plan.
+    return (
         t.select(
             F.concat(F.lit("e:"), F.col("conv_id")).alias("subj"),
             F.lit("mentions").alias("pred"),
@@ -91,8 +89,33 @@ def publish_shape():
             F.sha2(F.concat_ws("\x1f", "subj", "pred", "obj", "conv_id", "turn_idx"), 256),
         )
     )
+
+
+def publish_shape():
+    # Stage E in isolation, full: ... -> partitioned parquet write.
+    import tempfile, shutil
     out_dir = tempfile.mkdtemp(prefix="pubshape_", dir=shm)
-    d.write.partitionBy("part_key").mode("overwrite").parquet(out_dir)
+    _publish_df().write.partitionBy("part_key").mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return n
+
+
+def publish_nosink():
+    # Stage E minus the sink: count() after distinct+sha256. The gap to
+    # publish_shape is the write (per-task part_key sort + parquet encode
+    # + commit); if THIS probe scales but publish_shape doesn't, the
+    # non-scaling resource is in the write path, not shuffle/agg/hash CPU.
+    return _publish_df().count()
+
+
+def publish_nopart():
+    # Full write but WITHOUT partitionBy: same bytes, no dynamic-partition
+    # sort and a flat single-dir commit. Gap to publish_shape isolates the
+    # hive-layout machinery (128-dir fan-out + driver commit protocol).
+    import tempfile, shutil
+    out_dir = tempfile.mkdtemp(prefix="pubflat_", dir=shm)
+    _publish_df().write.mode("overwrite").parquet(out_dir)
     n = spark.read.parquet(out_dir).count()
     shutil.rmtree(out_dir, ignore_errors=True)
     return n
@@ -113,6 +136,8 @@ JOBS = [
     ("extract_py", extract_py, {{}}),
     ("shuffle_agg", shuffle_agg, {{}}),
     ("publish_shape", publish_shape, {{}}),
+    ("publish_nosink", publish_nosink, {{}}),
+    ("publish_nopart", publish_nopart, {{}}),
     ("extract_py_smallbatch", extract_py,
      {{"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"}}),
     ("extract_py_bigbatch", extract_py,
