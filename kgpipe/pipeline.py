@@ -57,7 +57,6 @@ def part_key_col(subj: str = "subj", parts: int = N_TRIPLE_PARTS) -> F.Column:
 class PipelineConfig:
     work_dir: str
     input_fingerprint: str  # content identity of the input (seed/path/etc.)
-    n_partitions: int = 0  # 0 -> spark.sql.shuffle.partitions
     triple_parts: int = N_TRIPLE_PARTS
     # True: every stage materializes to parquet + manifest (exact resume,
     # the production default per BASELINE.json). False: stage boundaries
@@ -76,6 +75,30 @@ class PipelineConfig:
             sort_keys=True,
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _fused_c_level():
+    """Storage level for the fused-mode Stage-C boundary persist.
+
+    Default MEMORY_AND_DISK_DESER (PySpark's no-arg `.persist()` default
+    since 3.4: compressed columnar batches on heap, overflow to local
+    disk). At corpus sizes where the
+    cached 70M+-row linked table dwarfs the heap (the 64 M-turn point in
+    BENCH/scaling_2v8_fused_flat_64M.md), most batches spill anyway and the
+    resident remainder raises old-gen occupancy exactly while Stage E
+    shuffles and writes in the same JVM — `KGPIPE_FUSED_PERSIST=disk`
+    (DISK_ONLY) frees the heap for the publish stage at the cost of a
+    sequential columnar re-read. Measured A/B lives in
+    BENCH/profile_stageE_64M.md; knob exists so the scaling harness can
+    test both without code edits."""
+    from pyspark import StorageLevel
+
+    name = os.environ.get("KGPIPE_FUSED_PERSIST", "deser").lower()
+    return {
+        "deser": StorageLevel.MEMORY_AND_DISK_DESER,  # == no-arg .persist()
+        "ser": StorageLevel.MEMORY_AND_DISK,  # serialized on-heap
+        "disk": StorageLevel.DISK_ONLY,
+    }[name]
 
 
 def lineage_col() -> F.Column:
@@ -178,7 +201,7 @@ class Pipeline:
             # C is read by two consumers — the unlinked-surface derivation
             # driving CC, and the final rewrite — so it must materialize.
             if stage == "C_link":
-                df = df.persist()
+                df = df.persist(_fused_c_level())
             m = {
                 "stage": stage,
                 "fingerprint": fp,
@@ -205,9 +228,6 @@ class Pipeline:
     ) -> DataFrame | None:
         """Run stages; returns final triples DF (or None if stopped early)."""
         t0 = time.time()
-        nparts = self.cfg.n_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
 
         # ---- Stage A: ingest + stable ordering (no checkpoint: cheap) ----
         a = stage_ingest(transcripts)
@@ -255,14 +275,18 @@ class Pipeline:
             # clusters equal triples together, and the partitioned write
             # fans out to triple_parts clean files instead of
             # (tasks x partitions) small ones.
-            # task count is decoupled from the bucket count: hash(part_key)
-            # puts each bucket wholly inside one task at ANY task count, so
-            # the dedup aggregate still rides this shuffle and the sink still
-            # gets exactly one file per part_key dir — but the job runs
-            # ~2x cores tasks instead of triple_parts tasks (serial task
-            # dispatch on 100s of near-empty tasks was pure fixed cost at
-            # small scale; at cluster scale nparts >= triple_parts anyway)
-            n_tasks = min(self.cfg.triple_parts, nparts)
+            # task count = bucket count, NOT a function of core count: the
+            # dedup aggregate's per-task hash-map state scales with
+            # rows/task, so sizing tasks by cores makes low-core runs spill
+            # (64M turns, local[2]: 4 tasks -> 169.6 s vs 128 tasks ->
+            # 93.6 s; local[8]: 16 -> 73.8 s vs 128 -> 56.2 s;
+            # BENCH/profile_stageE_64M.md) — partition count must follow
+            # DATA volume. One task per sink bucket also means exactly one
+            # file per part_key dir. Small-scale fixed cost of the extra
+            # near-empty tasks is inside run noise (1M turns, local[32]:
+            # 6.11 s @64 tasks vs parity @128). At cluster scale
+            # triple_parts would be O(10^3-10^4) Iceberg buckets anyway.
+            n_tasks = self.cfg.triple_parts
             with_key = canoned.withColumn(
                 "part_key", part_key_col("subj", self.cfg.triple_parts)
             ).repartition(n_tasks, "part_key")
