@@ -39,6 +39,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 import os as _os
 from kgpipe import extract, schemas
+from kgpipe import pipeline as _pipeline_mod
 from kgpipe.session import get_spark
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -57,6 +58,9 @@ spark = get_spark(
 )
 spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.schema(schemas.TRANSCRIPTS).parquet(corpus + "/transcripts.parquet")
+# publish probes emit ~1 row/turn — footer-metadata count (no scan) sizes
+# their task count exactly the way the real pipeline does
+n_rows = t.count()
 
 
 def scan_jvm():
@@ -82,7 +86,11 @@ def _publish_df():
             F.col("turn_idx"),
         )
         .withColumn("part_key", F.pmod(F.xxhash64("subj"), F.lit(128)).cast("int"))
-        .repartition(min(128, 2 * cores), "part_key")
+        # mirror the real publish stage's task sizing (pipeline.
+        # publish_task_count: data-volume-driven with a parallelism floor,
+        # capped at the 128 sink buckets) so this isolation probe keeps
+        # reproducing the pipeline's actual Stage-E plan at every level
+        .repartition(_pipeline_mod.publish_task_count(n_rows, 128, cores), "part_key")
         .distinct()
         .withColumn(
             "lineage_id",
@@ -236,6 +244,11 @@ def main() -> int:
     out_name = f"profile_{args.n}v{args.n4}_{args.turns / 1_000_000:g}M.md" \
         if (args.n, args.n4, args.turns) != (8, 32, 16_000_000) \
         else "profile_8v32.md"
+    if only:
+        # a --jobs-filtered run must never clobber the full-suite evidence
+        # file (same hazard the size/persist suffixes in run_scaling.py
+        # guard against)
+        out_name = out_name[:-3] + "_partial.md"
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(lines) + "\n")
     return 0

@@ -51,6 +51,11 @@ def minhash_signatures(surfaces: DataFrame, n_hashes: int = MINHASH_HASHES) -> D
     hashing MinHash). All builtins, deterministic across runs and cluster
     sizes (never Python hash()), and value-reproducible in the DuckDB
     oracle (kgpipe/nhash.py)."""
+    assert n_hashes <= len(MH_AFFINE), (
+        f"n_hashes={n_hashes} exceeds the {len(MH_AFFINE)} frozen affine "
+        "pairs (MH_AFFINE) — raise MINHASH_HASHES in rules.py so the params "
+        "(and the oracle SQL literals) are regenerated together"
+    )
     ex = surfaces.select(
         "surface", F.explode(shingles_col("surface")).alias("sh")
     ).select("surface", nhash.basep_col(F.col("sh")).alias("hb"))
@@ -227,6 +232,12 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("nmin"))
         )
+        # convergence flag computed IN the propagation pass: new label =
+        # least(old, nmin), so "changed" is exactly nmin < old — carrying
+        # it as a column means the check is a filter over the freshly
+        # checkpointed blocks instead of the old new-vs-old label JOIN
+        # (round 3 shape), which cost one extra shuffle job per iteration
+        # at both cluster sizes — pure serial-latency tax on the 4N level.
         new_labels = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
@@ -234,17 +245,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels

@@ -118,6 +118,18 @@ def _stage(spark: SparkSession, sf: str, which: str) -> DataFrame:
             df = canon.candidate_pairs(canon.unlinked_surfaces(linked))
         else:  # pragma: no cover - internal misuse
             raise ValueError(which)
+        # cap the cache to the live application: entries keyed by a dead
+        # session's applicationId can never be served again (corpus_dfs
+        # keying note above), so evict them — unpersist is a no-op on a
+        # stopped context, and dropping the reference frees the plan. Live
+        # entries stay pinned for the session's whole correctness window
+        # by design (that sharing is the point of the cache).
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _STAGE_CACHE if not k[0].startswith(f"{app}|")]:
+            try:
+                _STAGE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         _STAGE_CACHE[key] = df.persist()
     return _STAGE_CACHE[key]
 

@@ -38,6 +38,33 @@ SEP = "\x1f"
 # O(10^3-10^4) Iceberg buckets)
 N_TRIPLE_PARTS = 128
 
+# Publish-stage task sizing (round 4; supersedes round 3's unconditional
+# 128-task floor, which fixed the 64M low-core spill but regressed the 16M
+# checkpointed pair 0.845 -> 0.723 by replacing ~36 right-sized tasks with
+# 128 tiny checkpoint-writing ones — VERDICT r3 §wrong-2).
+# ~500k rows/task is the measured spill-free dedup regime at an 8g heap:
+# 64M turns -> 71.2M publish rows -> 143 tasks, capped at the 128 buckets
+# that BENCH/profile_stageE_64M.md measured as the winning count there.
+PUBLISH_ROWS_PER_TASK = 500_000
+PUBLISH_MIN_TASKS = 16
+
+
+def publish_task_count(rows: int | None, triple_parts: int, parallelism: int) -> int:
+    """Task count for the Stage-E repartition: follows DATA volume
+    (rows / PUBLISH_ROWS_PER_TASK), never cores — the r3 rule (DEPLOY.md §4)
+    stands: a cores-driven CAP starves low-core runs into spill (64M,
+    local[2]: 4 tasks -> 169.6 s dedup vs 128 -> 93.6 s). The parallelism
+    term here is only a FLOOR, raised when the data term is small so tiny
+    runs still use every slot (near-empty extra tasks are noise-cheap:
+    1M turns, local[32], 64 vs 128 tasks measured inside run variance);
+    at any gate-relevant size the data term dominates, so both levels of a
+    scaling pair compute the SAME count. Cap = triple_parts keeps exactly
+    one file per sink bucket."""
+    if rows is None or rows < 0:
+        return triple_parts
+    data_tasks = -(-rows // PUBLISH_ROWS_PER_TASK)  # ceil
+    return int(min(triple_parts, max(PUBLISH_MIN_TASKS, 2 * parallelism, data_tasks)))
+
 
 def part_key_col(subj: str = "subj", parts: int = N_TRIPLE_PARTS) -> F.Column:
     """Deterministic sink bucket of a subject: first 60 bits of sha2-256 as
@@ -94,11 +121,16 @@ def _fused_c_level():
     from pyspark import StorageLevel
 
     name = os.environ.get("KGPIPE_FUSED_PERSIST", "deser").lower()
-    return {
+    levels = {
         "deser": StorageLevel.MEMORY_AND_DISK_DESER,  # == no-arg .persist()
         "ser": StorageLevel.MEMORY_AND_DISK,  # serialized on-heap
         "disk": StorageLevel.DISK_ONLY,
-    }[name]
+    }
+    if name not in levels:
+        raise ValueError(
+            f"KGPIPE_FUSED_PERSIST={name!r}: expected one of {sorted(levels)}"
+        )
+    return levels[name]
 
 
 def lineage_col() -> F.Column:
@@ -275,18 +307,23 @@ class Pipeline:
             # clusters equal triples together, and the partitioned write
             # fans out to triple_parts clean files instead of
             # (tasks x partitions) small ones.
-            # task count = bucket count, NOT a function of core count: the
-            # dedup aggregate's per-task hash-map state scales with
-            # rows/task, so sizing tasks by cores makes low-core runs spill
-            # (64M turns, local[2]: 4 tasks -> 169.6 s vs 128 tasks ->
-            # 93.6 s; local[8]: 16 -> 73.8 s vs 128 -> 56.2 s;
-            # BENCH/profile_stageE_64M.md) — partition count must follow
-            # DATA volume. One task per sink bucket also means exactly one
-            # file per part_key dir. Small-scale fixed cost of the extra
-            # near-empty tasks is inside run noise (1M turns, local[32]:
-            # 6.11 s @64 tasks vs parity @128). At cluster scale
-            # triple_parts would be O(10^3-10^4) Iceberg buckets anyway.
-            n_tasks = self.cfg.triple_parts
+            # task count follows DATA volume (see publish_task_count): in
+            # ckpt mode the exact row count is free from Stage D's manifest;
+            # in fused mode the C-boundary persist is already materialized
+            # (Stage D's CC actions scanned it), so linked.count() is a
+            # sub-second cached-block scan (BENCH/profile_stageE_64M.md
+            # cache_scan probe: 0.2-0.9 s at 64M turns) and canon_rewrite
+            # is row-preserving, so linked rows == publish input rows.
+            if self.cfg.checkpoints:
+                dm = io_tables.read_manifest(self._path("D_canon"))
+                pub_rows = None if dm is None else dm.get("rows")
+            else:
+                pub_rows = linked.count()
+            n_tasks = publish_task_count(
+                pub_rows,
+                self.cfg.triple_parts,
+                spark.sparkContext.defaultParallelism,
+            )
             with_key = canoned.withColumn(
                 "part_key", part_key_col("subj", self.cfg.triple_parts)
             ).repartition(n_tasks, "part_key")
