@@ -288,11 +288,46 @@ def stage_canon(linked: DataFrame) -> tuple[DataFrame, DataFrame]:
     unlinked = unlinked_surfaces(linked).persist()
     n_unl = unlinked.count()
     if n_unl <= DRIVER_ALLPAIRS_MAX_SURFACES:
-        edges = _driver_allpairs_edges(unlinked)
+        # pure-driver fast path: all-pairs edges AND union-find on the one
+        # collected surface list. The round-3 shape built a driver edge
+        # DataFrame only for connected_components to re-count and
+        # re-collect it — ~5 near-empty Spark jobs whose scheduling
+        # latency (measured: 3.2 s at BOTH levels of the 1M ckpt probe,
+        # BENCH/profile_ckpt16M.py) is a pure Amdahl tax on the 4N level
+        # of the production scaling pair (ckpt Stage D scaled 0.53 in r3).
+        # Semantics are identical to _driver_allpairs_edges +
+        # _driver_union_find (same shingle/jaccard/min-label code, order-
+        # independent result); both remain the distributed path's oracle
+        # twins in tests.
+        from .rules import char_shingles, jaccard
+
+        names = sorted(r["surface"] for r in unlinked.collect())
         unlinked.unpersist()  # collected already; nothing downstream reads it
+        sh = {s: char_shingles(s) for s in names}
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            p = parent.setdefault(x, x)
+            while p != x:
+                parent[x] = p = parent.setdefault(p, p)
+                x, p = p, parent[p]
+            return x
+
+        for i, a in enumerate(names):
+            for b in names[i + 1 :]:
+                if jaccard(sh[a], sh[b]) >= JACCARD_THRESHOLD:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = sorted((ra, rb))
+                        parent[hi] = lo
+        label_rows = [(n, find(n)) for n in parent]
+        cc = linked.sparkSession.createDataFrame(
+            label_rows, "node string, component string"
+        )
+        cc._kg_cc_small = True
     else:
         edges = candidate_pairs(unlinked)  # lazy — keep unlinked persisted
-    cc = connected_components(edges)
+        cc = connected_components(edges)
 
     # canon_rewrite: two joins against cc_labels (subj then obj); missing
     # nodes stay themselves (singleton components). When CC ran on the
