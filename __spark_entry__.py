@@ -50,45 +50,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # rounds covers the whole registry (see COVERAGE.md §driver-window):
 #   round 1 proved the relational/dedup/ann/text block; round 2 fronted the
 #   KG pipeline, streaming, multimodal/curation entries.
-#   round 3 fronts (a) the entries with NO green row in any round — incl.
-#   multimodal_media_meta (canonicalizer crash fixed this round) and
-#   agg_minhash_sig / dedup_simhash (upgraded rows-only -> full SQL oracle
-#   via the engine-neutral hash, kgpipe/nhash.py); (b) every entry whose
-#   plan or oracle changed in round 3 (stage-cache sharing, md5-affine
-#   MinHash in Stage D, streaming tz hardening); then (c) ALL 29 entries
-#   whose only green row is round 1's. If the harness cut is positional at
-#   50, everything in (a)-(c) is inside it; if it is time-budgeted, the
-#   shared _stage/_ckpt_run caches shave per-entry cost so MORE entries fit
-#   — either way the unproven set is measured first.
+#   round 1 proved the relational/dedup/ann/text block; round 2 fronted the
+#   KG pipeline, streaming, multimodal/curation entries; round 3 fronted the
+#   9 never-green + 11 plan-changed + all 29 r1-only entries (CORRECTNESS_r03
+#   matched it exactly: 43 hash-green, 7 structural rows-only, 0 errors).
+#   round 4 is a freshness rotation, not discovery: (a) every entry whose
+#   PLAN changed after the r3 driver ran (the post-verdict commit 81cabba —
+#   data-sized publish task count, CC convergence-in-propagation — and the
+#   round-4 driver union-find in stage_canon touch the Stage D/E pipeline
+#   facets and every stage-cache consumer); (b) ALL 31 entries whose newest
+#   driver row is round 2's, so no entry's evidence ages past two rounds;
+#   (c) filler = the 7 structural rows-only entries + udf_triple_extract,
+#   re-run for a fresh clean-row timestamp.
 # Entries past the window remain fully functional and pytest-covered; their
-# driver evidence is the round-2 report.
+# driver evidence is the round-3 report.
 # ---------------------------------------------------------------------------
-_ROUND3_WINDOW = [
-    # (a) never-green in r1 or r2: fixed / upgraded / structurally rows-only
-    "multimodal_media_meta", "agg_minhash_sig", "dedup_simhash",
-    "udf_mention_detect", "agg_approx_distinct", "ann_lsh_topk",
-    "ann_ivf_topk", "sink_metrics", "sink_checkpoint",
-    # (b) plan or oracle changed in round 3 — need fresh rows
-    "udf_triple_extract", "link_score", "lsh_block", "cc_iterate",
-    "canon_rewrite", "join_theta_selfjoin_lsh", "triple_materialize",
-    "kg_triples_per_entity", "sink_triples",
-    "stream_watermark_late", "stream_stateful_dedup",
-    # (c) all 29 entries whose only green row is round 1's
-    "proj_select", "filter_pred", "proj_normalize_text",
-    "join_shuffle_hash", "join_salted_skew", "join_semi", "join_anti",
-    "join_outer", "join_asof", "agg_distinct", "agg_collect",
-    "win_turn_order", "win_topk_cand", "win_lag_lead", "win_running",
-    "win_ntile_rank", "sort_global", "limit_topk_global",
-    "set_union", "set_intersect", "set_except",
-    "str_funcs", "date_funcs", "math_funcs", "array_funcs", "map_funcs",
-    "json_funcs", "hash_funcs", "text_quality_score",
-    # continuity filler to 50
-    "dedup_minhash",
+_ROUND4_WINDOW = [
+    # (a) plan changed after the r3 driver ran (Stage D/E + stage cache)
+    "sink_triples", "triple_materialize", "kg_triples_per_entity",
+    "cc_iterate", "canon_rewrite", "link_score", "lsh_block",
+    "agg_minhash_sig", "join_theta_selfjoin_lsh",
+    # (b) all 31 entries whose newest driver row is round 2's
+    "scan_parquet", "join_broadcast", "join_range_asof", "agg_hash",
+    "agg_salted_twophase", "agg_grouping_sets", "sort_within_part",
+    "agg_pivot", "sample_fraction", "sample_stratified", "dedup_exact",
+    "dedup_ngram_jaccard", "ann_bruteforce_topk", "ann_bruteforce_blas_topk",
+    "dedup_embedding_cosine", "text_token_count", "text_lang_id",
+    "text_fingerprint", "text_winnow_fingerprint", "scan_transcripts",
+    "scan_dict", "filter_role", "kg_turn_order", "corpus_curation",
+    "stream_ingest", "stream_window_aggs", "stream_stateful_applyinpandas",
+    "stream_sink_incremental", "conv_stats_applyinpandas",
+    "udtf_sentence_expand", "grouped_agg_pandas_udf",
+    # (c) filler to 50: structural rows-only (fresh clean-row timestamp —
+    # sink_metrics/sink_checkpoint also ride the Stage-E plan change) + one
+    # pipeline hash-oracle
+    "sink_metrics", "sink_checkpoint", "udf_mention_detect",
+    "agg_approx_distinct", "ann_lsh_topk", "ann_ivf_topk",
+    "multimodal_media_meta", "dedup_simhash", "dedup_minhash",
+    "udf_triple_extract",
 ]
 
 
 def _ordered_names() -> list[str]:
-    fronted = [n for n in _ROUND3_WINDOW if n in REGISTRY]
+    fronted = [n for n in _ROUND4_WINDOW if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(fronted)]
     return fronted + rest
 
