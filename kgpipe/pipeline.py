@@ -50,6 +50,12 @@ PUBLISH_MIN_TASKS = 16
 
 
 def publish_task_count(rows: int | None, triple_parts: int, parallelism: int) -> int:
+    # KGPIPE_PUBLISH_TASKS: benchmark-isolation override so scaling A/Bs can
+    # pin the Stage-E task count without code flips (BENCH/run_scaling.py
+    # passes it through the child env; unset in production).
+    forced = os.environ.get("KGPIPE_PUBLISH_TASKS")
+    if forced:
+        return int(forced)
     """Task count for the Stage-E repartition: follows DATA volume
     (rows / PUBLISH_ROWS_PER_TASK), never cores — the r3 rule (DEPLOY.md §4)
     stands: a cores-driven CAP starves low-core runs into spill (64M,
