@@ -38,38 +38,44 @@ SEP = "\x1f"
 # O(10^3-10^4) Iceberg buckets)
 N_TRIPLE_PARTS = 128
 
-# Publish-stage task sizing (round 4; supersedes round 3's unconditional
-# 128-task floor, which fixed the 64M low-core spill but regressed the 16M
-# checkpointed pair 0.845 -> 0.723 by replacing ~36 right-sized tasks with
-# 128 tiny checkpoint-writing ones — VERDICT r3 §wrong-2).
-# ~500k rows/task is the measured spill-free dedup regime at an 8g heap:
-# 64M turns -> 71.2M publish rows -> 143 tasks, capped at the 128 buckets
-# that BENCH/profile_stageE_64M.md measured as the winning count there.
-PUBLISH_ROWS_PER_TASK = 500_000
+# Publish-stage task sizing. History, because this flip-flopped on evidence:
+# round 3 made it an unconditional triple_parts (128) after the 64M probe
+# showed cores-derived counts starve low-core runs into spill (local[2]:
+# 4 tasks -> 169.6 s dedup vs 128 -> 93.6 s, BENCH/profile_stageE_64M.md).
+# The r3 verdict suspected that change for the ckpt-16M scaling regression
+# (0.845 -> 0.723) and prescribed data-volume sizing; round 4 implemented it
+# (ceil(rows/500k) with a parallelism floor) and then A/B-ed BOTH counts at
+# 16M with the real culprit — Stage D's driver-CC job tax — already fixed:
+#   ckpt 2->8:  data-sized(25) eff 0.811, t128 eff 0.798 (same within noise)
+#               but t128 is ~15-18% FASTER at both levels (E 44.4/15.6 s vs
+#               54.8/19.1 s; whole pipeline 195/61 s vs 231/71 s);
+#   fused 2->8: t128 0.902 vs data-sized 0.739 (spread mostly local[2]
+#               D_canon trial noise; E within ~8% per level).
+# (BENCH/scaling_2v8_ckpt_16M*.md, scaling_2v8_fused_flat_16M*.md.) So the
+# regression attribution was D, not E, and the bucket-aligned count is the
+# uniformly fastest at 1M (profile_ckpt16M.md), 16M, and 64M: one task wave
+# per sink bucket, no balls-in-bins lumping of 128 bucket keys into fewer
+# hash partitions. The count is data-shaped at real scale because
+# triple_parts itself grows with the table (DEPLOY.md §2: O(10^3-10^4)
+# Iceberg buckets at 10^12 turns), never with cores.
+PUBLISH_ROWS_PER_TASK = 500_000  # retained for the env-knob A/B harness docs
 PUBLISH_MIN_TASKS = 16
 
 
 def publish_task_count(rows: int | None, triple_parts: int, parallelism: int) -> int:
-    # KGPIPE_PUBLISH_TASKS: benchmark-isolation override so scaling A/Bs can
-    # pin the Stage-E task count without code flips (BENCH/run_scaling.py
-    # passes it through the child env; unset in production).
+    """Stage-E repartition task count: the sink bucket count, always.
+
+    Bucket-aligned fan-out (one shuffle task per part_key bucket modulo
+    hash collisions, exactly one output file per bucket) measured fastest
+    at every corpus size and parallelism level — see the sizing memoir
+    above. KGPIPE_PUBLISH_TASKS is a benchmark-isolation override so
+    scaling A/Bs can pin the count without code flips; unset in
+    production. rows/parallelism stay in the signature for the knob
+    harness and future re-evaluation."""
     forced = os.environ.get("KGPIPE_PUBLISH_TASKS")
     if forced:
         return int(forced)
-    """Task count for the Stage-E repartition: follows DATA volume
-    (rows / PUBLISH_ROWS_PER_TASK), never cores — the r3 rule (DEPLOY.md §4)
-    stands: a cores-driven CAP starves low-core runs into spill (64M,
-    local[2]: 4 tasks -> 169.6 s dedup vs 128 -> 93.6 s). The parallelism
-    term here is only a FLOOR, raised when the data term is small so tiny
-    runs still use every slot (near-empty extra tasks are noise-cheap:
-    1M turns, local[32], 64 vs 128 tasks measured inside run variance);
-    at any gate-relevant size the data term dominates, so both levels of a
-    scaling pair compute the SAME count. Cap = triple_parts keeps exactly
-    one file per sink bucket."""
-    if rows is None or rows < 0:
-        return triple_parts
-    data_tasks = -(-rows // PUBLISH_ROWS_PER_TASK)  # ceil
-    return int(min(triple_parts, max(PUBLISH_MIN_TASKS, 2 * parallelism, data_tasks)))
+    return triple_parts
 
 
 def part_key_col(subj: str = "subj", parts: int = N_TRIPLE_PARTS) -> F.Column:
@@ -313,20 +319,11 @@ class Pipeline:
             # clusters equal triples together, and the partitioned write
             # fans out to triple_parts clean files instead of
             # (tasks x partitions) small ones.
-            # task count follows DATA volume (see publish_task_count): in
-            # ckpt mode the exact row count is free from Stage D's manifest;
-            # in fused mode the C-boundary persist is already materialized
-            # (Stage D's CC actions scanned it), so linked.count() is a
-            # sub-second cached-block scan (BENCH/profile_stageE_64M.md
-            # cache_scan probe: 0.2-0.9 s at 64M turns) and canon_rewrite
-            # is row-preserving, so linked rows == publish input rows.
-            if self.cfg.checkpoints:
-                dm = io_tables.read_manifest(self._path("D_canon"))
-                pub_rows = None if dm is None else dm.get("rows")
-            else:
-                pub_rows = linked.count()
+            # task count = the sink bucket count (publish_task_count has
+            # the measured sizing memoir), so no row-count action is needed
+            # here.
             n_tasks = publish_task_count(
-                pub_rows,
+                None,
                 self.cfg.triple_parts,
                 spark.sparkContext.defaultParallelism,
             )
