@@ -61,21 +61,78 @@ N_TRIPLE_PARTS = 128
 PUBLISH_ROWS_PER_TASK = 500_000  # retained for the env-knob A/B harness docs
 PUBLISH_MIN_TASKS = 16
 
+# Hot-bucket salting for the publish stage (round-4 event-log finding,
+# BENCH/evtlog_16M_fused_2_8.json): part_key = hash(subj) concentrates the
+# Zipf-hot subjects' triples into single buckets — at 16M turns the hottest
+# of the 128 dedup+write tasks carried 11.5% of the stage's work (10.6 s
+# vs 0.34 s median at local[8]), a straggler that is invisible at 2 cores
+# (hidden under 46 s/core of work) but caps the 4N level's stage span, and
+# it grows linearly with corpus size — the measured Amdahl "serial"
+# component behind the 64M scaling FAILs (S ~8 s at 16M -> ~138 s at 64M,
+# scaling_2v8_*_64M.md). The salt is a hash of the FULL dedup key, so a
+# single hot subject still splits evenly, identical rows still co-locate
+# (distinct stays one-shuffle-correct), and the sink layout contract
+# (partitionBy part_key dirs) is unchanged — each bucket dir just gets up
+# to `salt` files, which is what any real multi-executor writer produces.
+# Sized by data volume (rows / PUBLISH_SALT_ROWS), floor 1 so the 1M bench
+# plan is byte-identical to round 3's.
+PUBLISH_SALT_ROWS = 5_000_000
+PUBLISH_MAX_SALT = 32
+# pre-dedup triples per turn on the synthetic corpus (measured: 17.8M/16M,
+# 71.2M/64M); only used to size the salt factor, order-of-magnitude is fine
+TRIPLES_PER_TURN_EST = 1.15
+
 
 def publish_task_count(rows: int | None, triple_parts: int, parallelism: int) -> int:
-    """Stage-E repartition task count: the sink bucket count, always.
+    """Stage-E repartition task count: sink buckets x salt factor.
 
-    Bucket-aligned fan-out (one shuffle task per part_key bucket modulo
-    hash collisions, exactly one output file per bucket) measured fastest
-    at every corpus size and parallelism level — see the sizing memoir
-    above. KGPIPE_PUBLISH_TASKS is a benchmark-isolation override so
-    scaling A/Bs can pin the count without code flips; unset in
-    production. rows/parallelism stay in the signature for the knob
-    harness and future re-evaluation."""
+    Bucket-aligned fan-out (one shuffle task per (part_key, salt) combo,
+    one output file per combo) measured fastest at every corpus size and
+    parallelism level — see the sizing memoir above; the salt factor
+    (publish_salt_factor) splits Zipf-hot buckets at large corpus sizes.
+    KGPIPE_PUBLISH_TASKS is a benchmark-isolation override so scaling
+    A/Bs can pin the count without code flips; unset in production.
+    parallelism stays in the signature for the knob harness."""
     forced = os.environ.get("KGPIPE_PUBLISH_TASKS")
     if forced:
         return int(forced)
-    return triple_parts
+    return triple_parts * publish_salt_factor(rows)
+
+
+def publish_salt_factor(est_rows: int | None) -> int:
+    """Salt cardinality for the publish shuffle: ceil(rows / 5M), clamped
+    to [1, 32]. None (row count unknowable cheaply) -> 1 = unsalted, the
+    pre-round-4 plan."""
+    forced = os.environ.get("KGPIPE_PUBLISH_SALT")
+    if forced:
+        return max(1, int(forced))
+    if not est_rows:
+        return 1
+    return max(1, min(PUBLISH_MAX_SALT, -(-est_rows // PUBLISH_SALT_ROWS)))
+
+
+def input_rows_estimate(df) -> int | None:
+    """Cheap row-count estimate for a parquet-backed DataFrame: sum of the
+    footer counts of its input files — no Spark job, no data read. At
+    cluster scale the Iceberg table metadata carries the same number for
+    free. Returns None when the plan is not a plain file scan (e.g. a
+    createDataFrame in tests) — callers must degrade gracefully."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            p = urllib.parse.urlparse(uri)
+            path = urllib.parse.unquote(p.path) if p.scheme else uri
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
 
 
 def part_key_col(subj: str = "subj", parts: int = N_TRIPLE_PARTS) -> F.Column:
@@ -197,6 +254,7 @@ class Pipeline:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.metrics: list[dict] = []
+        self._est_turns: int | None = None
 
     # -- stage fingerprints chain: fp(stage k) = h(config, stage, fp(k-1)) --
     def _fp(self, stage: str, upstream: str) -> str:
@@ -272,6 +330,9 @@ class Pipeline:
     ) -> DataFrame | None:
         """Run stages; returns final triples DF (or None if stopped early)."""
         t0 = time.time()
+        # input scale from parquet footers (None for non-file inputs):
+        # sizes the publish salt factor without a count job
+        self._est_turns = input_rows_estimate(transcripts)
 
         # ---- Stage A: ingest + stable ordering (no checkpoint: cheap) ----
         a = stage_ingest(transcripts)
@@ -314,31 +375,58 @@ class Pipeline:
 
         # ---- Stage E: publish -------------------------------------------
         def build_e() -> DataFrame:
-            # ONE shuffle: repartition on part_key (derived from subj), then
-            # hash-aggregate dedup on the full triple key — hash(part_key)
-            # clusters equal triples together, and the partitioned write
-            # fans out to triple_parts clean files instead of
-            # (tasks x partitions) small ones.
-            # task count = the sink bucket count (publish_task_count has
-            # the measured sizing memoir), so no row-count action is needed
-            # here.
-            n_tasks = publish_task_count(
-                None,
-                self.cfg.triple_parts,
-                spark.sparkContext.defaultParallelism,
+            # ONE shuffle: repartition on (part_key, salt), then
+            # hash-aggregate dedup on the full triple key — both partition
+            # expressions are grouping columns, so the aggregate's
+            # clustering requirement is satisfied with no second shuffle —
+            # and the partitioned write fans out to (buckets x salt) clean
+            # files instead of (tasks x partitions) small ones.
+            # task count = buckets x salt factor (publish_task_count has
+            # the measured sizing memoir; the salt splits Zipf-hot buckets
+            # — the measured 4N-level straggler, see PUBLISH_SALT_ROWS).
+            # Row estimate from input parquet footers: no count job.
+            est_rows = (
+                int(self._est_turns * TRIPLES_PER_TURN_EST)
+                if self._est_turns
+                else None
+            )
+            salt = publish_salt_factor(est_rows)
+            forced = os.environ.get("KGPIPE_PUBLISH_TASKS")
+            n_tasks = (
+                int(forced) if forced else self.cfg.triple_parts * salt
             )
             with_key = canoned.withColumn(
                 "part_key", part_key_col("subj", self.cfg.triple_parts)
-            ).repartition(n_tasks, "part_key")
-            # dedup as a hash aggregate over the full key: part_key is in
-            # the grouping set, so hash(part_key) satisfies the aggregate's
+            )
+            if salt > 1:
+                # full-key hash: a single hot subject still splits evenly;
+                # identical rows still co-locate, so dedup is unaffected
+                with_key = with_key.withColumn(
+                    "_salt",
+                    F.pmod(
+                        F.xxhash64(
+                            "subj", "pred", "obj", "conv_id", "turn_idx",
+                            "rule_id",
+                        ),
+                        F.lit(salt),
+                    ).cast("int"),
+                )
+                with_key = with_key.repartition(n_tasks, "part_key", "_salt")
+            else:
+                with_key = with_key.repartition(n_tasks, "part_key")
+            # dedup as a hash aggregate over the full key: part_key (and
+            # _salt, itself a function of key columns) are in the grouping
+            # set, so the existing partitioning satisfies the aggregate's
             # clustering requirement — no second shuffle — and a
             # HashAggregate beats the previous sort-based window dedup
             # (row_number over a 7-column sort) by skipping the O(n log n)
             # multi-string sort entirely; the partitioned write below only
             # re-sorts by part_key, not the whole key. All columns are key
             # columns, so distinct == keep-any, same as row_number()=1.
-            triples = with_key.distinct().withColumn("lineage_id", lineage_col())
+            triples = with_key.distinct()
+            if salt > 1:
+                triples = triples.drop("_salt")
+            triples = triples.withColumn("lineage_id", lineage_col())
             # idempotent publish: drop lineage ids already in the sink
             final_path = self._path("E_triples")
             if io_tables.read_manifest(final_path) is not None:

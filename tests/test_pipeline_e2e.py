@@ -127,3 +127,40 @@ def test_parallelism_invariance(spark, transcripts_df, entity_dict_df, tmp_path,
     a = set(map(tuple, out[cols].itertuples(index=False)))
     b = set(map(tuple, final_triples[cols].itertuples(index=False)))
     assert a == b
+
+
+def test_salted_publish_matches_unsalted(
+    spark, transcripts_df, entity_dict_df, tmp_path, final_triples, monkeypatch
+):
+    """Hot-bucket salting (KGPIPE_PUBLISH_SALT>1 / large-corpus default):
+    identical triple set + lineage + part_key, and the salted dedup stays a
+    single shuffle (the salt is a function of the full dedup key, so the
+    aggregate's clustering requirement is met by the salted exchange)."""
+    monkeypatch.setenv("KGPIPE_PUBLISH_SALT", "4")
+    out = pipeline.run_simple(
+        spark, transcripts_df, entity_dict_df, str(tmp_path / "salted"),
+        input_fingerprint="salt4",
+    )
+    cols = [
+        "subj", "pred", "obj", "conv_id", "turn_idx", "rule_id",
+        "lineage_id", "part_key",
+    ]
+    got = out.toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    want = final_triples[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert "_salt" not in out.columns
+
+
+def test_publish_salt_sizing():
+    """Salt factor: data-volume-sized with floor 1 (unsalted small-corpus
+    plan byte-identical to round 3) and the documented cap."""
+    f = pipeline.publish_salt_factor
+    assert f(None) == 1
+    assert f(1_000_000) == 1
+    assert f(pipeline.PUBLISH_SALT_ROWS) == 1
+    assert f(pipeline.PUBLISH_SALT_ROWS + 1) == 2
+    assert f(18_000_000) == 4   # ~16M-turn corpus
+    assert f(74_000_000) == 15  # ~64M-turn corpus
+    assert f(10**12) == pipeline.PUBLISH_MAX_SALT
+    assert pipeline.publish_task_count(18_000_000, 128, 8) == 512
+    assert pipeline.publish_task_count(None, 128, 8) == 128
