@@ -219,6 +219,32 @@ def lineage_col() -> F.Column:
     )
 
 
+INGEST_TURNS_PER_PART = 1_000_000
+INGEST_MAX_PARTS = 4096
+
+
+def ingest_partitions(est_turns: int | None, shuffle_parts: int) -> int:
+    """Stage-A partition count: data-sized above the shuffle default.
+
+    2x-cores shuffle partitions (the session default) stop being a sane
+    task size once per-partition data outgrows executor memory: at 64M
+    turns / local[8] that is 16 tasks x 4M turns, and the event-log
+    profile (BENCH/evtlog_64M_fused_2_8.json) shows the window-dedup sort
+    spilling 1.4-2.2 GB per level (zero at 16M), task density at the 4N
+    level dropping to 76% (two waves of uneven ~122 s tasks), and
+    executor CPU inflating ~12%. A production job sizes shuffle
+    partitions by data volume (~100-200 MB / partition) identically at
+    every cluster size; this does the same from the input footer row
+    count: ~1M turns (~300 MB in the sort) per partition, floored at the
+    session shuffle default (so sub-1M-per-part corpora keep the round-3
+    plan; a 16M corpus now gets 16 partitions at EVERY core count instead
+    of 2x cores), capped only as a runaway guard (at 10^12 turns the real
+    ceiling is the cluster's task-slot budget)."""
+    if not est_turns:
+        return shuffle_parts
+    return max(shuffle_parts, min(INGEST_MAX_PARTS, -(-est_turns // INGEST_TURNS_PER_PART)))
+
+
 def stage_ingest(transcripts: DataFrame) -> DataFrame:
     """Stage A: validate + per-turn dedup + stable ordering.
 
@@ -231,9 +257,13 @@ def stage_ingest(transcripts: DataFrame) -> DataFrame:
     back to SortAggregate with a pre- AND post-shuffle sort. The declared
     turn-order window costs nothing on the extraction path — Catalyst
     prunes it when turn_rank is not consumed (tests/test_plans.py pins
-    both facts)."""
+    both facts). Partition count is data-sized (ingest_partitions) so
+    per-task sort memory stays bounded at any corpus size."""
     spark = transcripts.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = ingest_partitions(
+        input_rows_estimate(transcripts),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
     from pyspark.sql.window import Window
 
     a = transcripts.filter(

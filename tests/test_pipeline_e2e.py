@@ -164,3 +164,16 @@ def test_publish_salt_sizing():
     assert f(10**12) == pipeline.PUBLISH_MAX_SALT
     assert pipeline.publish_task_count(18_000_000, 128, 8) == 512
     assert pipeline.publish_task_count(None, 128, 8) == 128
+
+
+def test_ingest_partition_sizing():
+    """Stage-A partition count: data-sized above the session shuffle
+    default, floor keeps <=16M-turn plans identical to round 3."""
+    f = pipeline.ingest_partitions
+    assert f(None, 16) == 16
+    assert f(1_000_000, 16) == 16
+    assert f(16_000_000, 16) == 16      # 16M/local[8]: unchanged
+    assert f(16_000_000, 4) == 16       # 16M/local[2]: bounded task size
+    assert f(64_000_000, 16) == 64
+    assert f(64_000_000, 4) == 64       # same count at BOTH cluster sizes
+    assert f(10**12, 64) == pipeline.INGEST_MAX_PARTS
