@@ -230,6 +230,15 @@ All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_w
             f"\nFused Stage-C boundary persist: KGPIPE_FUSED_PERSIST="
             f"{persist} (default deser; see pipeline._fused_c_level).\n"
         )
+    # non-default IO codec (KGPIPE_IO_CODEC, see session.get_spark) in the
+    # name + md: a zstd A/B run must not clobber the lz4 evidence file
+    codec = os.environ.get("KGPIPE_IO_CODEC", "lz4")
+    if codec != "lz4":
+        suffix += f"_{codec}"
+        md += (
+            f"\nShuffle IO codec: KGPIPE_IO_CODEC={codec} "
+            f"(default lz4; see kgpipe/session.py).\n"
+        )
     # corpus size in the name so a 64M-turn run cannot clobber the 16M
     # evidence file (pre-round-3 files carry no size suffix = 16M or as
     # stated inside)

@@ -68,6 +68,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Shuffle/broadcast/spill block codec. Default stays at Spark's
+        # lz4; KGPIPE_IO_CODEC=zstd trades cheap CPU for shuffle bytes,
+        # which matters exactly when the box (or a cluster's disks/NICs)
+        # is bandwidth-bound — A/B'd at the 64M scaling frontier
+        # (BENCH/BASELINE.md §1).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("KGPIPE_IO_CODEC", "lz4"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
