@@ -231,7 +231,10 @@ All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_w
             f"{persist} (default deser; see pipeline._fused_c_level).\n"
         )
     # non-default IO codec (KGPIPE_IO_CODEC, see session.get_spark) in the
-    # name + md: a zstd A/B run must not clobber the lz4 evidence file
+    # name + md: a codec A/B run must not clobber the default-config
+    # evidence file. (Round 4 briefly flipped the default to zstd, then
+    # reverted after the 1v4 gate pair regressed 0.804 -> 0.722 under it;
+    # the _zstd-suffixed files are that A/B's evidence.)
     codec = os.environ.get("KGPIPE_IO_CODEC", "lz4")
     if codec != "lz4":
         suffix += f"_{codec}"

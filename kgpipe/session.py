@@ -68,11 +68,21 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGPIPE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Shuffle/broadcast/spill block codec. Default stays at Spark's
-        # lz4; KGPIPE_IO_CODEC=zstd trades cheap CPU for shuffle bytes,
-        # which matters exactly when the box (or a cluster's disks/NICs)
-        # is bandwidth-bound — A/B'd at the 64M scaling frontier
-        # (BENCH/BASELINE.md §1).
+        # Shuffle/broadcast/spill block codec. zstd trades CPU for shuffle
+        # BYTES; the round-4 A/B showed the trade cuts BOTH ways on this
+        # box, split exactly by the membw_probe saturation knee:
+        #   bandwidth-bound (>=8 cores sharing DRAM): zstd wins — +6% at
+        #     16M/local[8] ckpt (70.7 -> 66.6 s), +1.4% at 64M/local[8];
+        #   CPU-bound (<=4 cores, below the knee): lz4 wins — 16M ckpt
+        #     local[4] 105.3 -> 116.0 s (+10%) and 64M local[2]
+        #     715.9 -> 758.1 s (+6%) under zstd, which flipped the 1->4
+        #     production gate pair from 0.804 PASS to 0.722
+        #     (BENCH/scaling_1v4_ckpt{,_zstd}_16M.md).
+        # Default stays lz4 (Spark's own): the shipped config must be the
+        # one the gate evidence is measured under, and per-executor core
+        # counts on a real cluster sit in the lz4 regime. For clusters
+        # whose shuffle genuinely crosses NICs/spinning disks, set
+        # KGPIPE_IO_CODEC=zstd (DEPLOY.md §5).
         .config(
             "spark.io.compression.codec",
             os.environ.get("KGPIPE_IO_CODEC", "lz4"),
