@@ -87,9 +87,9 @@ def _publish_df():
         )
         .withColumn("part_key", F.pmod(F.xxhash64("subj"), F.lit(128)).cast("int"))
         # mirror the real publish stage's task sizing (pipeline.
-        # publish_task_count: data-volume-driven with a parallelism floor,
-        # capped at the 128 sink buckets) so this isolation probe keeps
-        # reproducing the pipeline's actual Stage-E plan at every level
+        # publish_task_count: sink buckets x Zipf salt factor — the
+        # bucket-aligned arm that won the round-4 A/B) so this isolation
+        # probe keeps reproducing the pipeline's actual Stage-E plan
         .repartition(_pipeline_mod.publish_task_count(n_rows, 128, cores), "part_key")
         .distinct()
         .withColumn(

@@ -87,6 +87,13 @@ def get_spark(
             "spark.io.compression.codec",
             os.environ.get("KGPIPE_IO_CODEC", "lz4"),
         )
+        # Parquet page codec for stage checkpoints + sinks. Same
+        # CPU-vs-bytes trade as the shuffle codec above, probed the same
+        # way (BENCH/BASELINE.md §1); snappy is Spark's default.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("KGPIPE_PARQUET_CODEC", "snappy"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
