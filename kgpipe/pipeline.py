@@ -245,39 +245,107 @@ def ingest_partitions(est_turns: int | None, shuffle_parts: int) -> int:
     return max(shuffle_parts, min(INGEST_MAX_PARTS, -(-est_turns // INGEST_TURNS_PER_PART)))
 
 
+# Adaptive ingest dedup (round 4). The (conv_id, turn_idx) dedup used to
+# ride a full-width repartition(conv_id) — i.e. the ENTIRE corpus (text
+# included, ~300 B/turn) crossed the shuffle to serve a window that is a
+# no-op on clean input. At 64M turns that is ~20 GB of shuffle bytes on the
+# exact resource the scaling evidence proved this box runs out of first
+# (BENCH/membw_probe.py: DRAM-bandwidth retention 0.40-0.78 at the 4N
+# level while per-core CPU holds 0.99). The replacement makes the dedup
+# cost proportional to the DIRT, not the data:
+#   1. detect: group xxhash64(conv_id, turn_idx) — an 8-byte key, so the
+#      detection shuffle is ~30x narrower than the old full-row one — and
+#      keep hashes seen more than once. False negatives are impossible
+#      (equal keys always hash equal); a false positive (two distinct keys
+#      colliding, P ~ rows^2 / 2^64) merely routes innocent rows through
+#      the repair path, which re-checks the TRUE key — semantics exact.
+#   2. clean (no flagged hash): no shuffle at all — extraction runs
+#      straight off the scan; Stage A costs one narrow detection pass.
+#   3. few flagged: broadcast the flagged hashes, split the corpus with a
+#      broadcast anti/semi join (no shuffle of the clean side), window-
+#      dedup only the dirty slice, union back.
+#   4. adversarially dirty (> DEDUP_BCAST_MAX flagged): the pre-round-4
+#      full repartition(conv_id) + window plan, data-sized partitions.
+# At 10^12 turns the detection aggregate shuffles ~8 TB instead of ~300 TB,
+# and a mostly-clean production corpus (the common case — upstream writers
+# emit each turn once) never pays the wide shuffle at all.
+DEDUP_BCAST_MAX = 2_000_000  # flagged hash groups worth broadcasting
+
+
+def _dedup_window(df: DataFrame) -> DataFrame:
+    """Keep-one per (conv_id, turn_idx): min (ts, role) — deterministic,
+    unlike dropDuplicates."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "role")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def stage_ingest(transcripts: DataFrame) -> DataFrame:
     """Stage A: validate + per-turn dedup + stable ordering.
 
-    ONE shuffle: the (conv_id, turn_idx) dedup window rides the conv_id
-    repartition (hash(conv_id) satisfies its clustering requirement), so
-    dedup costs one sort, not a second shuffle — and the keep-row is
-    deterministic (min ts, then role) unlike dropDuplicates. A
-    min(struct(...)) hash-aggregate variant was measured 1.8x SLOWER here:
+    Dedup is ADAPTIVE (memoir above): an exact narrow-key detection job
+    picks one of three plans — shuffle-free (clean input), broadcast-split
+    repair (few dup keys), or the full conv_id repartition + window
+    (adversarially dirty input; also forceable with
+    KGPIPE_INGEST_DEDUP=always for A/Bs, =skip trusts the input blindly).
+    On the dirty paths the keep-row is deterministic (min ts, then role);
+    a min(struct(...)) hash-aggregate variant was measured 1.8x SLOWER:
     struct aggregation buffers are not hash-agg mutable, so Spark falls
     back to SortAggregate with a pre- AND post-shuffle sort. The declared
     turn-order window costs nothing on the extraction path — Catalyst
     prunes it when turn_rank is not consumed (tests/test_plans.py pins
-    both facts). Partition count is data-sized (ingest_partitions) so
-    per-task sort memory stays bounded at any corpus size."""
-    spark = transcripts.sparkSession
-    nparts = ingest_partitions(
-        input_rows_estimate(transcripts),
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    from pyspark.sql.window import Window
-
+    both facts). Full-path partition count is data-sized
+    (ingest_partitions) so per-task sort memory stays bounded."""
     a = transcripts.filter(
         F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
         & F.col("text").isNotNull()
-    ).repartition(nparts, "conv_id")
-    w_dedup = Window.partitionBy("conv_id", "turn_idx").orderBy("ts", "role")
-    a = (
-        a.withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
     )
-    return extract.with_turn_order(a)
+    mode = os.environ.get("KGPIPE_INGEST_DEDUP", "auto").lower()
+    if mode not in ("auto", "always", "skip"):
+        raise ValueError(
+            f"KGPIPE_INGEST_DEDUP={mode!r}: expected auto, always or skip"
+        )
+    if mode == "skip":
+        return extract.with_turn_order(a)
+    if mode == "auto":
+        key_hash = F.xxhash64("conv_id", "turn_idx")
+        flagged = (
+            a.select(key_hash.alias("_k"))
+            .groupBy("_k")
+            .count()
+            .filter(F.col("count") > 1)
+            .select("_k")
+        )
+        # one job: detection + overflow probe (limit fuses into the scan)
+        hits = flagged.limit(DEDUP_BCAST_MAX + 1).collect()
+        if not hits:
+            return extract.with_turn_order(a)
+        if len(hits) <= DEDUP_BCAST_MAX:
+            spark = a.sparkSession
+            flagged_df = spark.createDataFrame(hits, "_k long")
+            keyed = a.withColumn("_k", key_hash)
+            clean = keyed.join(F.broadcast(flagged_df), "_k", "left_anti")
+            dirty = _dedup_window(
+                keyed.join(F.broadcast(flagged_df), "_k", "left_semi")
+            )
+            return extract.with_turn_order(
+                clean.unionByName(dirty).drop("_k")
+            )
+        # fall through: too dirty to broadcast — full shuffle plan
+    spark = a.sparkSession
+    nparts = ingest_partitions(
+        input_rows_estimate(transcripts),
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return extract.with_turn_order(
+        _dedup_window(a.repartition(nparts, "conv_id"))
+    )
 
 
 class Pipeline:

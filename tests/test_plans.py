@@ -67,21 +67,53 @@ def test_stage_e_is_single_shuffle(spark):
     assert "Sort" not in plan
 
 
-def test_stage_a_single_shuffle_and_window_pruning(spark, transcripts_df):
-    """Stage A: exactly ONE Exchange (the conv_id repartition; the dedup
-    window rides it), and the declared turn-order window is pruned by
-    Catalyst when turn_rank is not consumed (the extraction path)."""
+def test_stage_a_clean_input_is_shuffle_free(spark, transcripts_df):
+    """Stage A adaptive dedup, CLEAN path (the fixture corpus has no
+    duplicate (conv_id, turn_idx)): the detection job finds nothing, so the
+    extraction-path plan has ZERO Exchange and ZERO Window — the old
+    full-width repartition+window (~300 B/turn across the shuffle) is gone
+    and the turn-order window is pruned when turn_rank is not consumed."""
     from kgpipe import pipeline
 
     a = pipeline.stage_ingest(transcripts_df)
-    # extraction-path projection: turn_rank unused -> its window pruned,
-    # only the dedup window remains
+    plan = plan_of(a.select("conv_id", "turn_idx", "role", "text"))
+    assert plan.count("Exchange") == 0
+    assert plan.count("Window [") == 0
+    # when turn_rank IS consumed, the turn-order window (and its shuffle)
+    # come back — that path's consumers pay for what they use
+    plan_rank = plan_of(a.select("conv_id", "turn_idx", "turn_rank"))
+    assert plan_rank.count("Window [") == 1
+
+
+def test_stage_a_forced_full_path_single_shuffle(spark, transcripts_df, monkeypatch):
+    """KGPIPE_INGEST_DEDUP=always → the pre-round-4 plan: exactly ONE
+    Exchange (the conv_id repartition; the dedup window rides it)."""
+    from kgpipe import pipeline
+
+    monkeypatch.setenv("KGPIPE_INGEST_DEDUP", "always")
+    a = pipeline.stage_ingest(transcripts_df)
     plan = plan_of(a.select("conv_id", "turn_idx", "role", "text"))
     assert plan.count("Exchange") == 1
     assert plan.count("Window [") == 1  # dedup only; turn-order pruned
-    # when turn_rank IS consumed, the second window comes back
     plan_rank = plan_of(a.select("conv_id", "turn_idx", "turn_rank"))
     assert plan_rank.count("Window [") == 2
+
+
+def test_stage_a_dirty_input_broadcast_repair(spark, transcripts_df):
+    """Stage A adaptive dedup, REPAIR path: with a handful of duplicated
+    turns the clean slice crosses NO shuffle (broadcast anti join against
+    the flagged hashes); only the dirty slice is windowed, so the only
+    hash-partitioning Exchange in the plan is the one under the tiny dirty
+    subtree."""
+    from kgpipe import pipeline
+
+    dups = transcripts_df.limit(3).withColumn("ts", F.expr("ts + interval 1 hour"))
+    dirty_input = transcripts_df.unionByName(dups)
+    a = pipeline.stage_ingest(dirty_input)
+    plan = plan_of(a.select("conv_id", "turn_idx", "role", "text"))
+    assert "BroadcastHashJoin" in plan  # flagged-hash split, both sides
+    assert plan.count("Exchange hashpartitioning") == 1  # dirty window only
+    assert plan.count("Window [") == 1
 
 
 def test_extraction_stage_no_shuffle_after_ordering(spark, transcripts_df, entity_dict_df):
