@@ -26,7 +26,7 @@ import pandas as pd
 # --------------------------------------------------------------------------
 # Text normalization. Mirrored exactly by the Spark-builtin expression in
 # extract.normalize_text_col (lower ∘ trim ∘ collapse-whitespace) — keep the
-# two in lockstep; tests/test_extract.py asserts equality on random text.
+# two in lockstep; tests/test_rules.py asserts equality on random text.
 # --------------------------------------------------------------------------
 _WS = re.compile(r"\s+")
 
@@ -148,6 +148,84 @@ def extract_triples_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pd.concat(outs, ignore_index=True)
     out["turn_idx"] = out["turn_idx"].astype("int32")
     return out
+
+
+# --------------------------------------------------------------------------
+# Pure-Arrow twin of extract_triples_batch, for Spark's mapInArrow hot path
+# (kgpipe/extract.py). Same source of truth (RULES); the pandas kernel above
+# stays as the single-process oracle's engine and the semantic reference.
+# Why it exists: mapInPandas converts every Arrow batch to pandas and the
+# result back — on this kernel that conversion plus pandas' per-row Python
+# `re` engine cost 2.5-4.4x the whole pure-Arrow path (measured on a
+# 210k-turn batch set, 3 trials; see BENCH/BASELINE.md §3c). Arrow's
+# extract_regex / match_substring run RE2 in C++ over the columnar buffers;
+# the RULES patterns are RE2-compatible by construction (the DuckDB SQL twin
+# executes them, tests/test_rules.py pins set-equality of both kernels).
+# --------------------------------------------------------------------------
+def extract_triples_arrow(batch) -> "object | None":
+    """pa.RecordBatch[conv_id, turn_idx, role, text_norm] -> pa.Table with
+    RAW_TRIPLES_KINDED columns, or None when the batch emits nothing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    conv = batch.column("conv_id")
+    tix = batch.column("turn_idx")
+    role = batch.column("role")
+    text = batch.column("text_norm")
+    outs: list[pa.Table] = []
+    for rule in RULES:
+        mask = pc.is_in(role, value_set=pa.array(list(rule.roles)))
+        if rule.anchor:
+            mask = pc.and_kleene(mask, pc.match_substring(text, rule.anchor))
+        sel = pc.indices_nonzero(mask)
+        if len(sel) == 0:
+            continue
+        caps = pc.extract_regex(pc.take(text, sel), rule.pattern)
+        hit = pc.indices_nonzero(pc.is_valid(caps))
+        if len(hit) == 0:
+            continue
+        sel = pc.take(sel, hit)
+        caps = pc.take(caps, hit)
+        b_conv = pc.take(conv, sel)
+        b_tix = pc.take(tix, sel)
+        turn_node = None
+        if any("@turn" in (e[0], e[2]) for e in rule.emits):
+            turn_node = pc.binary_join_element_wise(
+                b_conv, pc.cast(b_tix, pa.string()), "#"
+            )
+        n = len(hit)
+        for subj_g, pred, obj_g in rule.emits:
+            subj = (
+                turn_node
+                if subj_g == "@turn"
+                else pc.utf8_trim_whitespace(pc.struct_field(caps, subj_g))
+            )
+            obj = (
+                turn_node
+                if obj_g == "@turn"
+                else pc.utf8_trim_whitespace(pc.struct_field(caps, obj_g))
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "conv_id": b_conv,
+                        "turn_idx": b_tix,
+                        "subj_raw": subj,
+                        "pred": pa.repeat(pa.scalar(pred), n),
+                        "obj_raw": obj,
+                        "rule_id": pa.repeat(pa.scalar(rule.rule_id), n),
+                        "subj_kind": pa.repeat(
+                            pa.scalar("node" if subj_g == "@turn" else "surface"), n
+                        ),
+                        "obj_kind": pa.repeat(
+                            pa.scalar("node" if obj_g == "@turn" else "surface"), n
+                        ),
+                    }
+                )
+            )
+    if not outs:
+        return None
+    return pa.concat_tables(outs)
 
 
 # --------------------------------------------------------------------------

@@ -148,3 +148,48 @@ def test_prefilter_preserves_triple_set(spark, transcripts_df, entity_dict_df, c
     assert set(map(tuple, got[cols].itertuples(index=False))) == set(
         map(tuple, want[cols].itertuples(index=False))
     )
+
+
+def test_arrow_kernel_matches_pandas_kernel(corpus):
+    """The mapInArrow hot-path kernel (RE2 via pyarrow.compute) and the
+    pandas oracle kernel (Python re) emit the IDENTICAL triple multiset on
+    the full fixture corpus — the two-engine lockstep that lets the golden
+    fixture gate the distributed machinery, not regex-engine drift."""
+    import pyarrow as pa
+
+    from kgpipe import rules
+
+    pdf = corpus.transcripts.copy()
+    pdf["text_norm"] = rules.normalize_series(pdf["text"])
+    pdf = pdf[["conv_id", "turn_idx", "role", "text_norm"]]
+    want = rules.extract_triples_batch(pdf)
+
+    got_t = rules.extract_triples_arrow(
+        pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    )
+    got = got_t.to_pandas()
+    got["turn_idx"] = got["turn_idx"].astype("int32")
+
+    cols = list(want.columns)
+    assert sorted(map(tuple, want[cols].itertuples(index=False))) == sorted(
+        map(tuple, got[cols].itertuples(index=False))
+    )
+
+
+def test_arrow_kernel_empty_batch():
+    import pyarrow as pa
+
+    from kgpipe import rules
+
+    empty = pa.RecordBatch.from_pydict(
+        {"conv_id": pa.array([], pa.string()),
+         "turn_idx": pa.array([], pa.int32()),
+         "role": pa.array([], pa.string()),
+         "text_norm": pa.array([], pa.string())}
+    )
+    assert rules.extract_triples_arrow(empty) is None
+    no_hit = pa.RecordBatch.from_pydict(
+        {"conv_id": pa.array(["c1"]), "turn_idx": pa.array([0], pa.int32()),
+         "role": pa.array(["user"]), "text_norm": pa.array(["plain chatter"])}
+    )
+    assert rules.extract_triples_arrow(no_hit) is None
