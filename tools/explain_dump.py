@@ -55,9 +55,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "codegen-compiled",
     ),
     "udf_triple_extract": (
-        ["MapInPandas", "Filter"],
-        "JVM anchor prefilter BEFORE the single Arrow pass (rows that cannot "
-        "match any rule never reach Python)",
+        ["MapInArrow", "!MapInPandas", "Filter"],
+        "JVM anchor prefilter BEFORE the single mapInArrow pass (rows that "
+        "cannot match any rule never reach the kernel); the kernel is "
+        "pure pyarrow.compute/RE2 — no Arrow->pandas conversion "
+        "(BENCH/BASELINE.md §3c: 4.04x over the mapInPandas path)",
     ),
     "ann_bruteforce_blas_topk": (
         ["MapInPandas", "Window"],
