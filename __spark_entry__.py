@@ -65,34 +65,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # Entries past the window remain fully functional and pytest-covered; their
 # driver evidence is the round-3 report.
 # ---------------------------------------------------------------------------
-_ROUND4_WINDOW = [
-    # (a) plan changed after the r3 driver ran (Stage D/E + stage cache)
+#   round 5 rotation: (a) every entry whose plan the round-5 engine work
+#   touches — the data-sized Stage-E task count, the D_cc_labels
+#   fused-gating and the 200k dedup broadcast cap all live on the KG
+#   pipeline path, so its facets (sinks, materialize, per-entity rollup,
+#   canon/cc) plus the ingest-side scan_transcripts/kg_turn_order and the
+#   extraction kernel are fronted; (b) ALL 31 entries whose newest driver
+#   row is round 3's, so after this round no entry's evidence is older
+#   than one round; (c) filler = the structural rows-only entries (fresh
+#   clean-row timestamps) + the Stage-D KG oracles.
+_ROUND5_WINDOW = [
+    # (a) round-5 plan-touched: pipeline facets + ingest + extraction
     "sink_triples", "triple_materialize", "kg_triples_per_entity",
-    "cc_iterate", "canon_rewrite", "link_score", "lsh_block",
+    "sink_metrics", "sink_checkpoint", "canon_rewrite", "cc_iterate",
+    "scan_transcripts", "kg_turn_order", "udf_triple_extract",
+    # (b) all 31 entries whose newest driver row is round 3's
+    "agg_collect", "agg_distinct", "array_funcs", "date_funcs",
+    "filter_pred", "hash_funcs", "join_anti", "join_asof", "join_outer",
+    "join_salted_skew", "join_semi", "join_shuffle_hash", "json_funcs",
+    "limit_topk_global", "map_funcs", "math_funcs", "proj_normalize_text",
+    "proj_select", "set_except", "set_intersect", "set_union",
+    "sort_global", "str_funcs", "stream_stateful_dedup",
+    "stream_watermark_late", "text_quality_score", "win_lag_lead",
+    "win_ntile_rank", "win_running", "win_topk_cand", "win_turn_order",
+    # (c) filler to 50: rows-only freshness + Stage-D KG oracles
+    "udf_mention_detect", "agg_approx_distinct", "ann_lsh_topk",
+    "ann_ivf_topk", "multimodal_media_meta", "link_score", "lsh_block",
     "agg_minhash_sig", "join_theta_selfjoin_lsh",
-    # (b) all 31 entries whose newest driver row is round 2's
-    "scan_parquet", "join_broadcast", "join_range_asof", "agg_hash",
-    "agg_salted_twophase", "agg_grouping_sets", "sort_within_part",
-    "agg_pivot", "sample_fraction", "sample_stratified", "dedup_exact",
-    "dedup_ngram_jaccard", "ann_bruteforce_topk", "ann_bruteforce_blas_topk",
-    "dedup_embedding_cosine", "text_token_count", "text_lang_id",
-    "text_fingerprint", "text_winnow_fingerprint", "scan_transcripts",
-    "scan_dict", "filter_role", "kg_turn_order", "corpus_curation",
-    "stream_ingest", "stream_window_aggs", "stream_stateful_applyinpandas",
-    "stream_sink_incremental", "conv_stats_applyinpandas",
-    "udtf_sentence_expand", "grouped_agg_pandas_udf",
-    # (c) filler to 50: structural rows-only (fresh clean-row timestamp —
-    # sink_metrics/sink_checkpoint also ride the Stage-E plan change) + one
-    # pipeline hash-oracle
-    "sink_metrics", "sink_checkpoint", "udf_mention_detect",
-    "agg_approx_distinct", "ann_lsh_topk", "ann_ivf_topk",
-    "multimodal_media_meta", "dedup_simhash", "dedup_minhash",
-    "udf_triple_extract",
 ]
 
 
 def _ordered_names() -> list[str]:
-    fronted = [n for n in _ROUND4_WINDOW if n in REGISTRY]
+    fronted = [n for n in _ROUND5_WINDOW if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(fronted)]
     return fronted + rest
 
