@@ -267,8 +267,9 @@ trip AS (
   SELECT DISTINCT subj, pred, obj, conv_id, turn_idx, rule_id FROM final),
 mat AS (
   SELECT subj, pred, obj, conv_id, turn_idx, rule_id,
-         sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
-                          CAST(turn_idx AS VARCHAR), rule_id)) AS lineage_id,
+         substr(sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
+                          CAST(turn_idx AS VARCHAR), rule_id)), 1, 32)
+           AS lineage_id,
          CAST(CAST('0x' || substr(sha256(subj), 1, 15) AS BIGINT) % 128
               AS INTEGER) AS part_key
   FROM trip)

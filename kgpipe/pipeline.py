@@ -230,18 +230,33 @@ def _fused_c_level():
 
 def lineage_col() -> F.Column:
     """Deterministic triple lineage id — stable across runs, cluster sizes
-    and resume (never monotonically_increasing_id, SURVEY.md §4)."""
-    return F.sha2(
-        F.concat_ws(
-            SEP,
-            F.col("subj"),
-            F.col("pred"),
-            F.col("obj"),
-            F.col("conv_id"),
-            F.col("turn_idx").cast("string"),
-            F.col("rule_id"),
+    and resume (never monotonically_increasing_id, SURVEY.md §4).
+
+    128-bit truncated sha256 hex (32 chars), not the full 64-char digest:
+    lineage_id is random hex, so it is the one column no codec can
+    compress — at the r4 fixture it was 78% of the E_triples checkpoint
+    bytes, ~68 B/row vs ~25 B/row for ALL of B+C+D combined, i.e. the
+    single largest byte mover on the bandwidth-saturated ckpt path
+    (BENCH/membw_probe.py attribution). 128 bits keeps collisions
+    negligible at full scale (10^12 triples: ~10^24 pairs vs 2^128 ≈
+    3.4e38 — P(any collision) ~ 1e-15) while halving the dominant
+    column's write+read+anti-join traffic. The DuckDB oracle twins
+    (kgqueries/streaming) truncate identically."""
+    return F.substring(
+        F.sha2(
+            F.concat_ws(
+                SEP,
+                F.col("subj"),
+                F.col("pred"),
+                F.col("obj"),
+                F.col("conv_id"),
+                F.col("turn_idx").cast("string"),
+                F.col("rule_id"),
+            ),
+            256,
         ),
-        256,
+        1,
+        32,
     )
 
 

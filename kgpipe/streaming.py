@@ -425,8 +425,8 @@ def _stream_sink_sql() -> str:
 
     return _kg_sql(
         """SELECT subj, pred, obj, conv_id, turn_idx, rule_id,
-                  sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
-                                   CAST(turn_idx AS VARCHAR), rule_id))
+                  substr(sha256(concat_ws(chr(31), subj, pred, obj, conv_id,
+                                   CAST(turn_idx AS VARCHAR), rule_id)), 1, 32)
                     AS lineage_id
            FROM (SELECT DISTINCT COALESCE(subj_link, subj_raw) AS subj, pred,
                         COALESCE(obj_link, obj_raw) AS obj,
