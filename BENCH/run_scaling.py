@@ -258,6 +258,11 @@ All trial walls: local[{args.n}] {r8['all_walls']}, local[{args.n4}] {r32['all_w
     )
     with open(out_md, "w") as f:
         f.write(md)
+    # the md table loses the per-stage wall breakdown (stage_ms in each
+    # level's RESULT line) that scaling attribution needs — persist the
+    # full summary as a sidecar so the evidence survives the scrollback
+    with open(out_md[:-3] + ".json", "w") as f:
+        json.dump(summary, f, indent=1)
     return 0
 
 
